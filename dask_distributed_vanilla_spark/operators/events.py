@@ -1,0 +1,147 @@
+"""Tier E — event analytics over the `events` table.
+
+Batch analogs of the reference's collection ops and pubsub stream surface
+(SURVEY.md §2.9, §2.12 Tier E): tumbling windows (the rolling/resample
+analog, reference `distributed/tests/test_collections.py:149-152`),
+top-k (`nlargest`, `benchmark/tpch/queries.py:220`), dedup-keep-latest
+(`drop_duplicates`, `test_collections.py:63`), cumulative windows
+(`cumsum`, `test_collections.py:64`), and gap-based sessionization.
+
+Scale notes: E1/E2 are shuffle-on-group-key aggregates with map-side
+partials; E3–E5 are window functions partitioned by user_id — the state
+for one user fits one task, so they scale horizontally with users (the
+skewed-user case is the one to watch; AQE skew handling covers the join
+variants, and a salted two-stage variant is the fallback). The
+Structured Streaming twin of E1 lives in streaming/events_stream.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dask_distributed_vanilla_spark.catalog import load_table
+
+
+def e1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+        .orderBy("event_type", "w")
+    )
+
+
+E1_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS w,
+       COUNT(*) AS n, ROUND(SUM(value),2) AS sv
+FROM events GROUP BY 1,2 ORDER BY 1,2
+"""
+
+
+def e2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users by total value (nlargest analog → TakeOrderedAndProject)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+        .orderBy(F.desc("total"), "user_id")
+        .limit(10)
+    )
+
+
+E2_SQL = """
+SELECT user_id, ROUND(SUM(value),2) AS total
+FROM events GROUP BY 1 ORDER BY total DESC, user_id LIMIT 10
+"""
+
+
+def e3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-keep-latest: count of distinct (user_id, event_type) survivors.
+
+    row_number over (user, type) ordered by recency — the distributed
+    drop_duplicates(keep='last') — then a global count.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+E3_SQL = """
+SELECT COUNT(*) AS n FROM (
+  SELECT user_id, event_type FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) WHERE rn=1)
+"""
+
+
+def e4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running total (cumsum analog), first 1000 events by id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.select("event_id", F.round(F.sum("value").over(w), 2).alias("run_total"))
+        .orderBy("event_id")
+        .limit(1000)
+    )
+
+
+E4_SQL = """
+SELECT event_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING),2) AS run_total
+FROM events ORDER BY event_id LIMIT 1000
+"""
+
+
+def e5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap.
+
+    lag → session-break flag → running sum as session id → per-session
+    aggregate. All windows share one (user_id) partitioning, so Spark
+    reuses a single shuffle across the lag, cumsum, and final group-by.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(order_w)
+    brk = F.when(
+        prev_ts.isNull() | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ev.withColumn("brk", brk)
+        .withColumn("sid", F.sum("brk").over(run_w))
+        .groupBy("user_id", "sid")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sv"))
+        .orderBy("user_id", "sid")
+    )
+
+
+E5_SQL = """
+WITH g AS (
+  SELECT *, CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > INTERVAL 30 MINUTE
+                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                 THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (
+  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM g)
+SELECT user_id, sid, COUNT(*) AS n_events, ROUND(SUM(value),2) AS sv
+FROM s GROUP BY 1,2 ORDER BY 1,2
+"""
+
+
+QUERIES = {"e1": e1, "e2": e2, "e3": e3, "e4": e4, "e5": e5}
+ORACLES = {"e1": E1_SQL, "e2": E2_SQL, "e3": E3_SQL, "e4": E4_SQL, "e5": E5_SQL}

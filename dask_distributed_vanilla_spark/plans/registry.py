@@ -1,0 +1,38 @@
+"""Central query registry: name → (DataFrame builder, DuckDB oracle SQL).
+
+This is the engine's declared surface (SURVEY.md §2.12 plus the
+LLM-pipeline extension operators). `__spark_entry__.py` re-exports it for
+the driver's correctness gate; tests and bench.py iterate it.
+
+Builders are callables ``(spark, sf_dir) -> DataFrame``. An oracle value
+of None marks a query the driver checks rows-only (genuinely
+non-SQL-expressible — e.g. ML-backed LSH, streaming state).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
+    from dask_distributed_vanilla_spark.operators import dedup, events, multimodal, similarity, text, tpch
+    from dask_distributed_vanilla_spark.streaming import events_stream
+
+    queries: dict[str, QueryFn] = {}
+    oracles: dict[str, str] = {}
+    for mod in (tpch, events, dedup, similarity, text, multimodal, events_stream):
+        queries.update(mod.QUERIES)
+        oracles.update({k: v for k, v in mod.ORACLES.items() if v is not None})
+    return queries, oracles
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return _collect()[0]
+
+
+def all_oracles() -> dict[str, str]:
+    return _collect()[1]

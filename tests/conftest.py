@@ -1,0 +1,56 @@
+from __future__ import annotations
+
+import hashlib
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from dask_distributed_vanilla_spark.catalog import TABLES
+from dask_distributed_vanilla_spark.session import get_spark
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECT = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tests", master="local[8]")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def oracle():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def canonical(df: pd.DataFrame) -> tuple[str, str]:
+    """Driver-style canonical form: columns sorted by name, floats %.2f,
+    rows sorted; returns (schema, value-hash)."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            df[c] = df[c].map(lambda v: "" if pd.isna(v) else f"{v:.2f}")
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        else:
+            df[c] = df[c].astype(str)
+    rows = sorted(df.itertuples(index=False, name=None))
+    body = "\n".join(",".join(r) for r in rows)
+    return ",".join(df.columns), hashlib.md5(body.encode()).hexdigest()
+
+
+def assert_matches_oracle(sdf: pd.DataFrame, odf: pd.DataFrame, name: str = "") -> None:
+    s_schema, s_hash = canonical(sdf)
+    o_schema, o_hash = canonical(odf)
+    assert len(sdf) == len(odf), f"{name}: row count {len(sdf)} != {len(odf)}"
+    assert s_schema == o_schema, f"{name}: schema {s_schema} != {o_schema}"
+    assert s_hash == o_hash, f"{name}: value hash mismatch\nspark:\n{sdf.head()}\noracle:\n{odf.head()}"
