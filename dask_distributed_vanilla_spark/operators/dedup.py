@@ -1,2 +1,342 @@
-QUERIES = {}
-ORACLES = {}
+"""Deduplication operators over the `documents` table.
+
+The training-data-pipeline extension surface (BASELINE.json north star):
+exact dedup, n-gram Jaccard near-dup, MinHash+LSH near-dup, and SimHash
+fingerprinting — each a pure DataFrame plan with a DuckDB oracle, plus a
+`pyspark.ml` MinHashLSH variant as the library-backed scale path.
+
+Design for 100 TB:
+- Exact dedup groups on a fixed-width digest, never the raw text — the
+  shuffle moves 32-byte keys, not documents.
+- The naive shingle self-join (`dedup_ngram_jaccard`) is quadratic in
+  docs-per-shingle and exists as the exact baseline; `dedup_minhash_lsh`
+  is the scale path: O(K) signature per doc, candidates generated only
+  within LSH band buckets, exact Jaccard verified on candidates only.
+- All hashing is md5-based and engine-portable (hex strings compare
+  lexicographically the same everywhere), so signatures computed by this
+  engine can be verified by any other system — and by the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dask_distributed_vanilla_spark.catalog import load_table
+from dask_distributed_vanilla_spark.functions.rounding import round2, round2_sql
+
+# Word n-gram size, minhash width, LSH banding, and the near-dup
+# threshold (the sf fixtures are bimodal: planted near-dups sit at
+# Jaccard ≥0.9, everything else <0.1 — 0.6 is in the empty gap).
+NGRAM = 3
+MINHASH_K = 9
+LSH_BANDS = 3  # 3 bands × 3 rows; P(candidate | j=0.9) ≈ 0.97
+JACCARD_THRESHOLD = 0.6
+
+# Jaccard is a ratio of small integers -> lands on the .xx5 grid; use the
+# engine-portable half-up rounding in both SQL dialects (functions/rounding.py).
+_JAC2 = round2_sql("n_common * 1.0 / (ca.n + cb.n - n_common)")
+
+
+def word_shingles(text: Column, n: int = NGRAM) -> Column:
+    """Array of word n-gram shingles (empty if fewer than n words)."""
+    words = F.split(text, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    return F.when(F.size(words) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh) — distinct word n-gram shingles per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(word_shingles(F.col("text")))).alias("sh")
+    )
+
+
+_SHINGLE_SQL = f"""
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       UNNEST(generate_series(1, len(w) - {NGRAM - 1})) AS u(i)
+  WHERE len(w) >= {NGRAM}
+"""
+
+
+# --- exact dedup ---------------------------------------------------------
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups keyed by content digest.
+
+    Returns one row per distinct content with the group size and the
+    survivor (minimum doc_id) — the standard keep-first policy.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keep_id"))
+        .orderBy("content_hash")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- n-gram Jaccard near-dup (exact baseline) ---------------------------
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs with word-{3}-gram Jaccard ≥ {thr}.
+
+    Exact algorithm: shingle-inverted-index self-join → per-pair common
+    count → Jaccard from per-doc shingle counts. Jaccard is a ratio of
+    exact integers, so the value is bit-identical across engines.
+    """
+    sh = _shingle_table(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", round2(jac).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_NGRAM_SQL = f"""
+WITH sh AS ({_SHINGLE_SQL}),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       {_JAC2} AS jaccard
+FROM pairs
+JOIN cnt ca ON doc_a = ca.doc_id
+JOIN cnt cb ON doc_b = cb.doc_id
+WHERE n_common * 1.0 / (ca.n + cb.n - n_common) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+# --- MinHash + LSH near-dup (scale path) ---------------------------------
+def _minhash_cols() -> list[Column]:
+    """K portable minhash values: lexicographic MIN of md5('k:' || shingle).
+
+    Hex digests order identically in any engine, so the signature is a
+    cross-system-stable document fingerprint.
+    """
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("sh")))).alias(f"mh{k}")
+        for k in range(MINHASH_K)
+    ]
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mh0..mh{K-1}) minhash signature table."""
+    return _shingle_table(spark, sf_dir).groupBy("doc_id").agg(*_minhash_cols())
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via MinHash signatures + banded LSH + exact verify.
+
+    Pipeline: K minhashes per doc → {B} band digests → candidate pairs =
+    docs sharing a band bucket (the only join, keyed on a 32-char
+    digest) → exact Jaccard computed *only for candidates* → threshold.
+    At 100 TB this is the dedup workhorse: no quadratic blowup, shuffle
+    keys are fixed-width, and band buckets parallelize freely.
+    """
+    rows_per_band = MINHASH_K // LSH_BANDS
+    sig = minhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat(
+                                *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification restricted to candidates
+    sh = _shingle_table(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    common = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", round2(jac).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_lsh_sql() -> str:
+    rows_per_band = MINHASH_K // LSH_BANDS
+    mh = ", ".join(f"MIN(md5('{k}:' || sh)) AS mh{k}" for k in range(MINHASH_K))
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5({' || '.join(f'mh{b * rows_per_band + r}' for r in range(rows_per_band))}) AS bucket "
+        "FROM sig"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+WITH sh AS ({_SHINGLE_SQL}),
+sig AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT doc_a, doc_b, COUNT(*) AS n_common
+  FROM cand
+  JOIN sh a ON a.doc_id = doc_a
+  JOIN sh b ON b.doc_id = doc_b AND b.sh = a.sh
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       {_JAC2} AS jaccard
+FROM common
+JOIN cnt ca ON doc_a = ca.doc_id
+JOIN cnt cb ON doc_b = cb.doc_id
+WHERE n_common * 1.0 / (ca.n + cb.n - n_common) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+# --- SimHash fingerprint --------------------------------------------------
+SIMHASH_BITS = 16
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document {bits}-bit SimHash over whitespace tokens.
+
+    Bit j of the fingerprint is the sign of Σ_tokens (±1), where the ±1
+    is the top bit of hex nibble j of md5(token) — frequency-weighted
+    because tokens are NOT deduplicated first. One explode + one groupBy:
+    linear, shuffle key is doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")).select(
+        "doc_id", F.md5(F.col("tok")).alias("h")
+    )
+    bit_sums = [
+        F.sum(F.when(F.substring("h", j + 1, 1) >= "8", 1).otherwise(-1)).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    fingerprint = F.concat(
+        *[F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(SIMHASH_BITS)]
+    )
+    return (
+        toks.groupBy("doc_id")
+        .agg(*bit_sums)
+        .select("doc_id", fingerprint.alias("simhash"))
+        .orderBy("doc_id")
+    )
+
+
+def _simhash_sql() -> str:
+    sums = ", ".join(
+        f"SUM(CASE WHEN substring(h, {j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    concat = " || ".join(
+        f"CASE WHEN s{j} > 0 THEN '1' ELSE '0' END" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, md5(t.tok) AS h
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       UNNEST(w) AS t(tok)),
+sums AS (SELECT doc_id, {sums} FROM toks GROUP BY doc_id)
+SELECT doc_id, {concat} AS simhash FROM sums ORDER BY doc_id
+"""
+
+
+# --- library-backed scale path (pyspark.ml MinHashLSH) -------------------
+def ml_minhash_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+    """Near-dup candidates via pyspark.ml MinHashLSH (JVM implementation).
+
+    The ml pipeline (HashingTF sparse shingle vectors → MinHashLSH →
+    approxSimilarityJoin) is the packaged alternative to the handwritten
+    LSH above. Non-deterministic across library versions (seeded hash
+    families), so unit-tested for recall rather than oracle-hashed.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = docs.select("doc_id", word_shingles(F.col("text")).alias("shingles")).where(
+        F.size("shingles") > 0
+    )
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(shingled)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, 1.0 - threshold, distCol="jaccard_dist")
+    return (
+        joined.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            (1 - F.col("jaccard_dist")).alias("jaccard_est"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
+    "dedup_minhash_lsh": _minhash_lsh_sql(),
+    "dedup_simhash": _simhash_sql(),
+}

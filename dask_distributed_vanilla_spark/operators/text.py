@@ -1,2 +1,176 @@
-QUERIES = {}
-ORACLES = {}
+"""Text-analysis operators over the `documents` table.
+
+Language ID (stopword-marker heuristic), quality scoring, token
+statistics, and document fingerprinting — the per-document scoring
+passes of a training-data pipeline. Every expression is a built-in
+column function (split / filter / aggregate higher-order functions), so
+the scoring runs inside whole-stage codegen with zero Python in the hot
+path; at 100 TB these are embarrassingly parallel single-pass scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dask_distributed_vanilla_spark.catalog import load_table
+from dask_distributed_vanilla_spark.functions.rounding import round2, round2_sql
+from dask_distributed_vanilla_spark.operators.dedup import word_shingles
+
+STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
+
+# marker tokens per language for the n-gram/stopword language heuristic
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "y", "es"),
+    "fr": ("le", "la", "de", "et", "est"),
+    "de": ("der", "die", "das", "und", "ist"),
+}
+
+
+def _words():
+    return F.split(F.col("text"), " ")
+
+
+def _count_in(words, vocab: tuple[str, ...]):
+    return F.size(F.filter(words, lambda w: w.isin(*vocab)))
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts + lexical ratios per document (whitespace tokenizer)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words()
+    n_tokens = F.size(words)
+    n_uniq = F.size(F.array_distinct(words))
+    sum_len = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    n_stop = _count_in(words, STOPWORDS)
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        n_uniq.cast("long").alias("n_uniq_tokens"),
+        round2(sum_len / n_tokens).alias("avg_token_len"),
+        round2(n_stop / n_tokens).alias("stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+def _sql_count_in(vocab: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in vocab)
+    return f"len(list_filter(w, x -> x IN ({lst})))"
+
+
+TEXT_STATS_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+       len(w) AS n_tokens,
+       len(list_distinct(w)) AS n_uniq_tokens,
+       {round2_sql("list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w)")} AS avg_token_len,
+       {round2_sql(_sql_count_in(STOPWORDS) + " * 1.0 / len(w)")} AS stopword_ratio
+FROM t ORDER BY doc_id
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score in [0,1]: length saturation + lexical
+    diversity + stopword density (the classic cheap quality gate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words()
+    n_tokens = F.size(words)
+    uniq_ratio = F.size(F.array_distinct(words)) / n_tokens
+    stop_ratio = _count_in(words, STOPWORDS) / n_tokens
+    length_score = F.least(F.lit(1.0), n_tokens / F.lit(64.0))
+    score = 0.4 * length_score + 0.3 * uniq_ratio + 0.3 * stop_ratio
+    return docs.select("doc_id", round2(score).alias("quality")).orderBy("doc_id")
+
+
+TEXT_QUALITY_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+       {round2_sql(
+           "0.4 * least(1.0, len(w) / 64.0)"
+           " + 0.3 * (len(list_distinct(w)) * 1.0 / len(w))"
+           f" + 0.3 * ({_sql_count_in(STOPWORDS)} * 1.0 / len(w))"
+       )} AS quality
+FROM t ORDER BY doc_id
+"""
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID with a deterministic argmax tiebreak
+    (en > es > fr > de on equal scores)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words()
+    scores = {lang: _count_in(words, vocab) for lang, vocab in LANG_MARKERS.items()}
+    pred = (
+        F.when(
+            (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["fr"])
+            & (scores["en"] >= scores["de"]),
+            "en",
+        )
+        .when((scores["es"] >= scores["fr"]) & (scores["es"] >= scores["de"]), "es")
+        .when(scores["fr"] >= scores["de"], "fr")
+        .otherwise("de")
+    )
+    return docs.select(
+        "doc_id",
+        *[scores[lang].cast("long").alias(f"score_{lang}") for lang in LANG_MARKERS],
+        pred.alias("pred_lang"),
+    ).orderBy("doc_id")
+
+
+def _langid_sql() -> str:
+    score_cols = ", ".join(
+        f"{_sql_count_in(vocab)} AS score_{lang}" for lang, vocab in LANG_MARKERS.items()
+    )
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+s AS (SELECT doc_id, {score_cols} FROM t)
+SELECT doc_id, CAST(score_en AS BIGINT) AS score_en, CAST(score_es AS BIGINT) AS score_es,
+       CAST(score_fr AS BIGINT) AS score_fr, CAST(score_de AS BIGINT) AS score_de,
+       CASE WHEN score_en >= score_es AND score_en >= score_fr AND score_en >= score_de THEN 'en'
+            WHEN score_es >= score_fr AND score_es >= score_de THEN 'es'
+            WHEN score_fr >= score_de THEN 'fr'
+            ELSE 'de' END AS pred_lang
+FROM s ORDER BY doc_id
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint: minimum digest over word
+    5-gram shingles (rolling-window min-hash), md5(text) fallback for
+    short docs. Fixed-width and engine-portable — two corpora can be
+    fingerprint-joined without exchanging text."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(F.col("text"), 5)
+    min_sh = F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    return docs.select(
+        "doc_id", F.coalesce(min_sh, F.md5(F.col("text"))).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+TEXT_FINGERPRINT_SQL = """
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         MIN(md5(w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4])) AS min_sh
+  FROM t, UNNEST(generate_series(1, len(w) - 4)) AS u(i)
+  WHERE len(w) >= 5 GROUP BY doc_id)
+SELECT t.doc_id, COALESCE(sh.min_sh, md5(t.text)) AS fingerprint
+FROM t LEFT JOIN sh ON t.doc_id = sh.doc_id
+ORDER BY t.doc_id
+"""
+
+
+QUERIES = {
+    "text_stats": text_stats,
+    "text_quality": text_quality,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+}
+
+ORACLES = {
+    "text_stats": TEXT_STATS_SQL,
+    "text_quality": TEXT_QUALITY_SQL,
+    "text_langid": _langid_sql(),
+    "text_fingerprint": TEXT_FINGERPRINT_SQL,
+}

@@ -26,8 +26,15 @@ from dask_distributed_vanilla_spark.session import get_spark
 
 def canonical(df: pd.DataFrame) -> tuple[str, str]:
     """Order-insensitive canonical rendering: sort columns by name, rows
-    by all values, floats as %.2f; returns (schema_repr, value_hash)."""
+    by all values, floats as %.2f; returns (schema_repr, value_hash).
+    Schema includes the pandas dtype so int-width mismatches between the
+    engine and the oracle surface here instead of in the driver."""
     df = df[sorted(df.columns)].copy()
+    def _norm(dt) -> str:
+        s = str(dt)
+        return "datetime" if s.startswith("datetime") else s  # unit is a client artifact
+
+    dtypes = ",".join(f"{c}:{_norm(df[c].dtype)}" for c in df.columns)
     for c in df.columns:
         if df[c].dtype.kind == "f":
             df[c] = df[c].map(lambda v: "" if pd.isna(v) else f"{v:.2f}")
@@ -37,8 +44,7 @@ def canonical(df: pd.DataFrame) -> tuple[str, str]:
             df[c] = df[c].astype(str)
     rows = sorted(df.itertuples(index=False, name=None))
     body = "\n".join(",".join(r) for r in rows)
-    schema = ",".join(df.columns)
-    return schema, hashlib.md5(body.encode()).hexdigest()
+    return dtypes, hashlib.md5(body.encode()).hexdigest()
 
 
 def main() -> int:
