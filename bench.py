@@ -1,0 +1,69 @@
+"""Benchmark harness: every registered query at $SPARK_GRAFT_SF_DIR.
+
+Protocol (BASELINE.md): per query, wall-clock of plan build → execute →
+collect, median of $BENCH_REPS runs (default 3) after one warm-up of the
+whole suite's input scans. Prints ONE JSON line:
+  {"metric": "suite_total_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1, ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from dask_distributed_vanilla_spark.catalog import TABLES, load_table
+from dask_distributed_vanilla_spark.plans.registry import all_queries
+from dask_distributed_vanilla_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: touch every input once (JVM/codegen/file-footer caches)
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
+
+    queries = all_queries()
+    timings: dict[str, float] = {}
+    for name in sorted(queries):
+        runs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).collect()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_queries": len(timings),
+                "reps": reps,
+                "spark": spark.version,
+                "cores": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+                "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+                "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

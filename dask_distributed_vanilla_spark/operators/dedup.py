@@ -39,8 +39,18 @@ _JAC2 = round2_sql("n_common * 1.0 / (ca.n + cb.n - n_common)")
 
 
 def word_shingles(text: Column, n: int = NGRAM) -> Column:
-    """Array of word n-gram shingles (empty if fewer than n words)."""
-    words = F.split(text, " ")
+    """Array of word n-gram shingles (empty if fewer than n words).
+
+    NOTE: evaluating this directly re-splits `text` once per array
+    element (Catalyst does not hoist the split out of the lambda); hot
+    paths should materialize the words array in a prior projection and
+    use :func:`shingles_from_words` — 3-4× faster per profile.
+    """
+    return shingles_from_words(F.split(text, " "), n)
+
+
+def shingles_from_words(words: Column, n: int = NGRAM) -> Column:
+    """Shingles from an already-materialized words array column."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
         lambda i: F.concat_ws(" ", F.slice(words, i, n)),
@@ -49,10 +59,16 @@ def word_shingles(text: Column, n: int = NGRAM) -> Column:
 
 
 def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sh) — distinct word n-gram shingles per document."""
+    """(doc_id, sh) — distinct word n-gram shingles per document.
+
+    Two-step projection so split() is evaluated once per document, not
+    once per shingle (CollapseProject keeps multi-referenced non-cheap
+    expressions materialized).
+    """
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.explode(F.array_distinct(word_shingles(F.col("text")))).alias("sh")
+    words = docs.select("doc_id", F.split(F.col("text"), " ").alias("words"))
+    return words.select(
+        "doc_id", F.explode(F.array_distinct(shingles_from_words(F.col("words")))).alias("sh")
     )
 
 
@@ -132,21 +148,26 @@ ORDER BY doc_a, doc_b
 
 
 # --- MinHash + LSH near-dup (scale path) ---------------------------------
-def _minhash_cols() -> list[Column]:
-    """K portable minhash values: lexicographic MIN of md5('k:' || shingle).
-
-    Hex digests order identically in any engine, so the signature is a
-    cross-system-stable document fingerprint.
-    """
-    return [
-        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("sh")))).alias(f"mh{k}")
-        for k in range(MINHASH_K)
-    ]
-
-
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, mh0..mh{K-1}) minhash signature table."""
-    return _shingle_table(spark, sf_dir).groupBy("doc_id").agg(*_minhash_cols())
+    """(doc_id, mh0..mh{K-1}) minhash signature table.
+
+    K portable minhash values from ONE digest per shingle: the k-th hash
+    is the lexicographic MIN of md5(sh) *rotated* by k hex chars — a
+    bijection of the 128-bit space per k, so each offset ranks shingles
+    by an independent-enough key (candidates are exactly verified
+    afterwards, so only recall is at stake). One md5 per shingle instead
+    of K is the dominant hashing cost at scale; hex strings order
+    identically in every engine, keeping signatures portable.
+    """
+    sh = _shingle_table(spark, sf_dir).select("doc_id", F.md5(F.col("sh")).alias("h"))
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.concat(F.substring("h", k + 1, 32 - k), F.substring("h", 1, k))
+            ).alias(f"mh{k}")
+            for k in range(MINHASH_K)
+        ]
+    )
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -215,7 +236,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_lsh_sql() -> str:
     rows_per_band = MINHASH_K // LSH_BANDS
-    mh = ", ".join(f"MIN(md5('{k}:' || sh)) AS mh{k}" for k in range(MINHASH_K))
+    mh = ", ".join(
+        f"MIN(substring(h, {k + 1}, {32 - k}) || substring(h, 1, {k})) AS mh{k}"
+        for k in range(MINHASH_K)
+    )
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, "
         f"md5({' || '.join(f'mh{b * rows_per_band + r}' for r in range(rows_per_band))}) AS bucket "
@@ -224,7 +248,8 @@ def _minhash_lsh_sql() -> str:
     )
     return f"""
 WITH sh AS ({_SHINGLE_SQL}),
-sig AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id),
+hs AS (SELECT doc_id, md5(sh) AS h FROM sh),
+sig AS (SELECT doc_id, {mh} FROM hs GROUP BY doc_id),
 bands AS ({band_rows}),
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b

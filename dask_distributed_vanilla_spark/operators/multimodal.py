@@ -31,6 +31,13 @@ from dask_distributed_vanilla_spark.catalog import load_table
 
 DECODE_SCHEMA = "doc_id long, width long, height long, n_frames long, payload_bytes long"
 
+try:  # codec availability probed once at import, not per row
+    from PIL import Image  # noqa: F401
+
+    HAVE_CODEC = True
+except ImportError:
+    HAVE_CODEC = False
+
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     """Deterministic stand-in for an image/video codec: metadata is a
@@ -43,28 +50,41 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
 def decode_image(payload: bytes) -> tuple[int, int, int]:
     """Decode payload → (width, height, n_frames).
 
-    Real codec path gated behind an import-try; this container has no
+    Real codec path gated behind the import probe; this container has no
     imaging libraries, so the deterministic fake is the active branch.
     """
-    try:  # pragma: no cover - codec libs absent in this environment
-        from PIL import Image  # noqa: F401
+    if HAVE_CODEC:  # pragma: no cover - codec libs absent here
         import io
 
-        with Image.open(io.BytesIO(payload)) as im:
-            return im.width, im.height, getattr(im, "n_frames", 1)
-    except Exception:
-        return _fake_decode(payload)
+        from PIL import Image
+
+        try:
+            with Image.open(io.BytesIO(payload)) as im:
+                return im.width, im.height, getattr(im, "n_frames", 1)
+        except Exception:
+            return _fake_decode(payload)
+    return _fake_decode(payload)
 
 
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        decoded = pdf["payload"].map(decode_image)
+        if HAVE_CODEC:  # pragma: no cover
+            decoded = pdf["payload"].map(decode_image)
+            width = decoded.map(lambda t: t[0])
+            height = decoded.map(lambda t: t[1])
+            n_frames = decoded.map(lambda t: t[2])
+        else:
+            # deterministic fake decode, vectorized over the Arrow batch
+            n = pdf["payload"].map(len)
+            width = (n * 31 + 7) % 640 + 1
+            height = (n * 17 + 3) % 480 + 1
+            n_frames = n % 30 + 1
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "width": decoded.map(lambda t: t[0]),
-                "height": decoded.map(lambda t: t[1]),
-                "n_frames": decoded.map(lambda t: t[2]),
+                "width": width,
+                "height": height,
+                "n_frames": n_frames,
                 "payload_bytes": pdf["payload"].map(len),
             }
         )

@@ -157,20 +157,41 @@ ORDER BY query_id, rank
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.45 — above the
-    random-pair band of the fixture distribution). Exact all-pairs on the
-    ordered half-matrix; at scale this routes through the LSH buckets."""
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("norm").alias("na")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("norm").alias("nb")
-    )
-    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    random-pair band of the fixture distribution).
+
+    Broadcast-matmul shape: the corpus matrix is broadcast once, and the
+    distributed side streams Arrow batches through a vectorized
+    batch×corpusᵀ BLAS product — each task scans its batch of vectors
+    exactly once, no pair-row materialization. This is the exact path
+    while one side fits in executor memory (here: 64-dim floats → ~0.5 KB
+    per vector, so hundreds of millions of vectors per broadcast GB);
+    beyond that the LSH/IVF buckets above take over.
+    """
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.toPandas()
+    ids = corpus["vec_id"].to_numpy()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in corpus["embedding"]])
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def pairs(batches):
+        import pandas as pd
+
+        c_ids, c_mat, c_norms = bc.value
+        for pdf in batches:
+            a_ids = pdf["vec_id"].to_numpy()
+            a_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
+            cos = (a_mat @ c_mat.T) / np.outer(a_norms, c_norms)
+            ai, ci = np.nonzero((cos >= 0.45) & (a_ids[:, None] < c_ids[None, :]))
+            yield pd.DataFrame(
+                {"vec_a": a_ids[ai], "vec_b": c_ids[ci], "cos": cos[ai, ci]}
+            )
+
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos", cos)
-        .where(F.col("cos") >= 0.45)
+        emb.mapInPandas(pairs, "vec_a long, vec_b long, cos double")
         .select("vec_a", "vec_b", F.round("cos", 2).alias("cosine"))
         .orderBy("vec_a", "vec_b")
     )

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from dask_distributed_vanilla_spark.catalog import load_table
 from dask_distributed_vanilla_spark.functions.rounding import round2, round2_sql
-from dask_distributed_vanilla_spark.operators.dedup import word_shingles
+from dask_distributed_vanilla_spark.operators.dedup import shingles_from_words
 
 STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
 
@@ -32,19 +32,25 @@ def _words():
     return F.split(F.col("text"), " ")
 
 
+def _with_words(docs, extra=()):
+    """Materialize the words array once — Catalyst re-evaluates split()
+    per reference otherwise (see dedup.word_shingles note)."""
+    return docs.select("doc_id", *extra, _words().alias("w"))
+
+
 def _count_in(words, vocab: tuple[str, ...]):
     return F.size(F.filter(words, lambda w: w.isin(*vocab)))
 
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counts + lexical ratios per document (whitespace tokenizer)."""
-    docs = load_table(spark, sf_dir, "documents")
-    words = _words()
+    t = _with_words(load_table(spark, sf_dir, "documents"))
+    words = F.col("w")
     n_tokens = F.size(words)
     n_uniq = F.size(F.array_distinct(words))
     sum_len = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
     n_stop = _count_in(words, STOPWORDS)
-    return docs.select(
+    return t.select(
         "doc_id",
         n_tokens.cast("long").alias("n_tokens"),
         n_uniq.cast("long").alias("n_uniq_tokens"),
@@ -72,14 +78,14 @@ FROM t ORDER BY doc_id
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score in [0,1]: length saturation + lexical
     diversity + stopword density (the classic cheap quality gate)."""
-    docs = load_table(spark, sf_dir, "documents")
-    words = _words()
+    t = _with_words(load_table(spark, sf_dir, "documents"))
+    words = F.col("w")
     n_tokens = F.size(words)
     uniq_ratio = F.size(F.array_distinct(words)) / n_tokens
     stop_ratio = _count_in(words, STOPWORDS) / n_tokens
     length_score = F.least(F.lit(1.0), n_tokens / F.lit(64.0))
     score = 0.4 * length_score + 0.3 * uniq_ratio + 0.3 * stop_ratio
-    return docs.select("doc_id", round2(score).alias("quality")).orderBy("doc_id")
+    return t.select("doc_id", round2(score).alias("quality")).orderBy("doc_id")
 
 
 TEXT_QUALITY_SQL = f"""
@@ -97,8 +103,8 @@ FROM t ORDER BY doc_id
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-token language ID with a deterministic argmax tiebreak
     (en > es > fr > de on equal scores)."""
-    docs = load_table(spark, sf_dir, "documents")
-    words = _words()
+    t = _with_words(load_table(spark, sf_dir, "documents"))
+    words = F.col("w")
     scores = {lang: _count_in(words, vocab) for lang, vocab in LANG_MARKERS.items()}
     pred = (
         F.when(
@@ -111,7 +117,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(scores["fr"] >= scores["de"], "fr")
         .otherwise("de")
     )
-    return docs.select(
+    return t.select(
         "doc_id",
         *[scores[lang].cast("long").alias(f"score_{lang}") for lang in LANG_MARKERS],
         pred.alias("pred_lang"),
@@ -140,10 +146,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-gram shingles (rolling-window min-hash), md5(text) fallback for
     short docs. Fixed-width and engine-portable — two corpora can be
     fingerprint-joined without exchanging text."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(F.col("text"), 5)
+    t = _with_words(load_table(spark, sf_dir, "documents"), extra=("text",))
+    sh = shingles_from_words(F.col("w"), 5)
     min_sh = F.array_min(F.transform(sh, lambda s: F.md5(s)))
-    return docs.select(
+    return t.select(
         "doc_id", F.coalesce(min_sh, F.md5(F.col("text"))).alias("fingerprint")
     ).orderBy("doc_id")
 

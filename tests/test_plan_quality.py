@@ -1,0 +1,56 @@
+"""Plan-shape regression tests: the properties that matter at 100 TB.
+
+A query that is correct but scans all columns, skips pushdown, or
+shuffles a fact table against a 25-row dimension would still pass the
+value checks — these tests pin the physical plan instead.
+"""
+
+from __future__ import annotations
+
+from dask_distributed_vanilla_spark.operators import tpch
+from dask_distributed_vanilla_spark.plans.explainer import (
+    count_broadcast_joins,
+    formatted_plan,
+    pushed_filters,
+    read_schemas,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_a1_scan_pushdown_and_pruning(spark):
+    df = tpch.a1(spark, SF_SMOKE)
+    assert "l_shipdate" in pushed_filters(df), "shipdate filter must reach the parquet scan"
+    schemas = read_schemas(df)
+    # 16-column lineitem projected to the 7 referenced columns
+    assert "l_orderkey" not in schemas and "l_partkey" not in schemas
+
+
+def test_a3_filters_pushed_per_table(spark):
+    df = tpch.a3(spark, SF_SMOKE)
+    pushed = pushed_filters(df)
+    assert "c_mktsegment" in pushed
+    assert "o_orderdate" in pushed
+    assert "l_shipdate" in pushed
+
+
+def test_a5_dimension_joins_broadcast(spark):
+    df = tpch.a5(spark, SF_SMOKE)
+    # with AQE at smoke scale every join side is broadcastable; require
+    # that at least the nation/region/supplier dims avoid shuffle joins
+    assert count_broadcast_joins(df) >= 3
+
+
+def test_a6_no_join_no_shuffle_heavy_plan(spark):
+    plan = formatted_plan(tpch.a6(spark, SF_SMOKE))
+    assert "Join" not in plan
+    # exactly one exchange: the partial->final aggregate ("Exchange (n)"
+    # matches the tree node; the details section spells it "(n) Exchange")
+    assert plan.count("Exchange (") == 1
+
+
+def test_whole_stage_codegen_active(spark):
+    # AQE formatted plans hide codegen stages pre-execution; the codegen
+    # explain mode reports the fused subtrees directly
+    df = tpch.a1(spark, SF_SMOKE)
+    codegen = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "codegen")
+    assert "WholeStageCodegen" in codegen
