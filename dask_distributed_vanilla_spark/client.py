@@ -1,0 +1,262 @@
+"""Futures/Client facade — the reference's task-parallel client surface
+on Spark.
+
+Replicates the `distributed.Client` API (reference `distributed/client.py`:
+`submit` :1447, `map` :1567, `gather` :1892, `scatter` :2061, `cancel`
+:2166, `compute` :2730, `persist` :2880, `get` :2590, plus module-level
+`wait` :4230, `as_completed` :4278, `fire_and_forget` :4603 — SURVEY.md
+§2.11). The scheduler/worker machinery those APIs drive in the reference
+(priorities, stealing, spilling) is Spark's job; what remains is a thin
+driver-side layer:
+
+- arbitrary Python calls (`submit`/`map`) run on a driver thread pool as
+  `concurrent.futures` futures; calls whose arguments are themselves
+  futures wait on their dependencies first, mirroring dask's graph
+  dependencies;
+- **pure-key memoization**: a deterministic token of (func, args) keys
+  each call, and resubmitting an identical pure call returns the same
+  future (the reference's content-hash CSE, `client.py:1527-1537`);
+- DataFrame arguments route through Spark (`compute` → collect on a
+  pool thread, `persist` → cache + materialize);
+- `scatter` → `spark.createDataFrame` / broadcast; `publish_dataset` →
+  global temp views (reference `distributed/publish.py:8-121`).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import hashlib
+import pickle
+import threading
+from collections.abc import Iterable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _token_bytes(obj: Any) -> bytes | None:
+    """Stable content bytes for one value, or None if it has no stable
+    identity. Local functions/lambdas hash by code + defaults + closure
+    cell *values* (dask's function-tokenization approach); an id()-based
+    fallback would collide once objects are freed, so refuse instead."""
+    try:
+        return pickle.dumps(obj, protocol=4)
+    except Exception:
+        pass
+    if callable(obj) and hasattr(obj, "__code__"):
+        parts = [obj.__module__ or "", obj.__qualname__, obj.__code__.co_code.hex()]
+        for cell in obj.__closure__ or ():
+            cb = _token_bytes(cell.cell_contents)
+            if cb is None:
+                return None
+            parts.append(cb.hex())
+        for d in obj.__defaults__ or ():
+            db = _token_bytes(d)
+            if db is None:
+                return None
+            parts.append(db.hex())
+        return "|".join(parts).encode()
+    return None
+
+
+def tokenize(*args: Any, **kwargs: Any) -> str | None:
+    """Deterministic content hash of a call (reference `client.py:1527-1531`).
+
+    Returns None when any value has no stable content identity — such a
+    call must NOT share a memo slot.
+    """
+    h = hashlib.md5()
+    for obj in (*args, *(kv for item in sorted(kwargs.items()) for kv in item)):
+        b = _token_bytes(obj)
+        if b is None:
+            return None
+        h.update(b)
+        h.update(b"\x00")
+    return h.hexdigest()
+
+
+def _resolve(obj: Any) -> Any:
+    """Materialize future arguments, mirroring dask dependency semantics."""
+    if isinstance(obj, concurrent.futures.Future):
+        return obj.result()
+    if isinstance(obj, (list, tuple)):
+        return type(obj)(_resolve(x) for x in obj)
+    return obj
+
+
+class Client:
+    """Driver-side client over one SparkSession + a thread pool.
+
+    Python-task execution is intentionally driver-local: the reference
+    schedules closures on remote workers because *everything* there is a
+    Python task; on Spark, bulk data work is DataFrame plans (executed
+    on executors) and only orchestration-level closures remain, which a
+    pool thread runs while any Spark actions inside them parallelize on
+    the cluster.
+    """
+
+    def __init__(self, spark: SparkSession | None = None, n_workers: int = 16):
+        from dask_distributed_vanilla_spark.session import get_spark
+
+        self.spark = spark or get_spark("client")
+        self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=n_workers)
+        self._pure_cache: dict[str, concurrent.futures.Future] = {}
+        self._lock = threading.Lock()
+        self._datasets: dict[str, DataFrame] = {}
+
+    # -- task parallel ----------------------------------------------------
+    def submit(self, fn, *args: Any, pure: bool = True, **kwargs: Any):
+        """Schedule ``fn(*args)``; identical pure calls share one future
+        (reference `client.py:1447-1565`)."""
+        key = tokenize(fn, *args, **kwargs) if pure else None  # None → not memoizable
+        if key is not None:
+            with self._lock:
+                cached = self._pure_cache.get(key)
+                if cached is not None:
+                    return cached
+        fut = self._pool.submit(lambda: fn(*_resolve(args), **_resolve(kwargs)))
+        if key is not None:
+            with self._lock:
+                self._pure_cache.setdefault(key, fut)
+        return fut
+
+    def map(self, fn, *iterables: Iterable[Any], pure: bool = True):
+        """N-ary submit (reference `client.py:1567-1759`)."""
+        return [self.submit(fn, *args, pure=pure) for args in zip(*iterables)]
+
+    def gather(self, futures):
+        """Materialize futures (reference `client.py:1892-1951`)."""
+        if isinstance(futures, concurrent.futures.Future):
+            return futures.result()
+        return [self.gather(f) for f in futures]
+
+    def cancel(self, futures) -> None:
+        for f in futures if isinstance(futures, (list, tuple)) else [futures]:
+            f.cancel()
+
+    # -- data movement ----------------------------------------------------
+    def scatter(self, data):
+        """Push local data to the cluster (reference `client.py:2061-2157`):
+        rows/pandas → distributed DataFrame, other objects → broadcast."""
+        import pandas as pd
+
+        if isinstance(data, pd.DataFrame):
+            return self.spark.createDataFrame(data)
+        if isinstance(data, (list, tuple)) and data and isinstance(data[0], (dict, tuple)):
+            return self.spark.createDataFrame(data)
+        return self.spark.sparkContext.broadcast(data)
+
+    def replicate(self, data):
+        """Reference `client.py:3095-3139`; on Spark a broadcast IS the
+        replicated object."""
+        from pyspark.sql import functions as F
+
+        if isinstance(data, DataFrame):
+            return F.broadcast(data)
+        return self.spark.sparkContext.broadcast(data)
+
+    # -- collection lifecycle ---------------------------------------------
+    def compute(self, obj):
+        """Async materialize (reference `client.py:2730-2878`): DataFrames
+        collect on a pool thread; futures pass through; plain values wrap."""
+        if isinstance(obj, DataFrame):
+            return self._pool.submit(obj.collect)
+        if isinstance(obj, concurrent.futures.Future):
+            return obj
+        if isinstance(obj, (list, tuple)):
+            return type(obj)(self.compute(x) for x in obj)
+        fut: concurrent.futures.Future = concurrent.futures.Future()
+        fut.set_result(obj)
+        return fut
+
+    def get(self, obj):
+        """Synchronous compute (reference `client.py:2590-2673`)."""
+        return self.gather(self.compute(obj))
+
+    def persist(self, df: DataFrame) -> DataFrame:
+        """Pin on the cluster (reference `client.py:2880-2976`): cache and
+        kick off materialization without blocking."""
+        cached = df.persist()
+        self._pool.submit(cached.count)
+        return cached
+
+    # -- named datasets (reference distributed/publish.py:8-121) ----------
+    def publish_dataset(self, **datasets: DataFrame) -> None:
+        for name, df in datasets.items():
+            if name in self._datasets:
+                raise KeyError(f"dataset {name!r} already published")
+            df.createOrReplaceGlobalTempView(name)
+            self._datasets[name] = df
+
+    def get_dataset(self, name: str) -> DataFrame:
+        if name not in self._datasets:
+            raise KeyError(name)
+        return self.spark.table(f"global_temp.{name}")
+
+    def list_datasets(self) -> list[str]:
+        return sorted(self._datasets)
+
+    def unpublish_dataset(self, name: str) -> None:
+        self._datasets.pop(name, None)
+        self.spark.catalog.dropGlobalTempView(name)
+
+    # -- introspection (reference client.py:3172-3335) --------------------
+    def who_has(self) -> dict[str, list[str]]:
+        """Cached tables per executor via the status tracker (the
+        reference's scheduler.who_has analog at Spark granularity)."""
+        sc = self.spark.sparkContext
+        infos = sc._jsc.sc().getRDDStorageInfo()
+        return {str(i.name()): [str(i.memSize())] for i in infos}
+
+    def nthreads(self) -> int:
+        return self.spark.sparkContext.defaultParallelism
+
+    def restart(self) -> None:
+        """Drop all cached state (reference `client.py:2997` clears cluster
+        state; Spark keeps executors, we clear caches + memo table)."""
+        self.spark.catalog.clearCache()
+        with self._lock:
+            self._pure_cache.clear()
+
+    def close(self) -> None:
+        self._pool.shutdown(wait=False)
+
+
+# -- module-level helpers matching the reference's API --------------------
+def wait(futures, timeout: float | None = None):
+    """Block until done (reference `client.py:4230`)."""
+    fs = [futures] if isinstance(futures, concurrent.futures.Future) else list(futures)
+    return concurrent.futures.wait(fs, timeout=timeout)
+
+
+def as_completed(futures):
+    """Yield futures as they finish (reference `client.py:4278`)."""
+    return concurrent.futures.as_completed(list(futures))
+
+
+def fire_and_forget(future) -> None:
+    """Detach (reference `client.py:4603`) — thread-pool futures already
+    run regardless of references; this only swallows errors."""
+    def _done(f):
+        try:
+            f.result()
+        except Exception:
+            pass
+
+    future.add_done_callback(_done)
+
+
+def tree_reduce(client: Client, fn, items: list, chunk: int = 2):
+    """The reference's delayed tree reduction (`benchmark/tree_reduction.py:
+    17-31`): binary tree of `fn` applications as chained futures. For bulk
+    data use `rdd.treeReduce` (see linalg.py); this mirrors the
+    future-graph shape."""
+    import functools
+
+    futs = [client.submit(lambda x: x, it) for it in items]
+    while len(futs) > 1:
+        futs = [
+            client.submit(lambda *xs: functools.reduce(fn, xs), *futs[i : i + chunk])
+            for i in range(0, len(futs), chunk)
+        ]
+    return futs[0]

@@ -1,0 +1,165 @@
+"""Distributed array/linalg — the reference's dask.array benchmark surface.
+
+Covers `benchmark/matrix_multiplication.py` (block matmul of chunked
+random matrices), `benchmark/svd_tall_skinny_matrix.py` (`da.linalg.svd`
+— direct TSQR algorithm), `benchmark/svd_square_matrix.py`
+(`svd_compressed` — randomized projection), `benchmark/kmeans.py`
+(dask_ml KMeans) and `benchmark/parallelizing_svm.py` (ParallelPostFit
+broadcast-model predict). SURVEY.md §1.1 maps chunked ndarrays to an RDD
+of (block_row, block_col, numpy block) — per-partition imperative numpy
+is the one place the RDD layer is genuinely the right tool (§2.10).
+
+Algorithms are the same ones dask uses: blocked matmul is a join on the
+contraction index + reduce, tall-skinny SVD is TSQR (per-partition QR,
+tree-reduced R factors, small driver SVD), square SVD is the
+Halko-Martinsson-Tropp randomized projection. All shapes scale: blocks
+move through shuffles keyed by block coordinates, nothing materializes a
+full matrix anywhere except the final k×k/driver-sized factors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark import RDD
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+Block = tuple[tuple[int, int], np.ndarray]
+
+
+def random_block_matrix(
+    spark: SparkSession, n_rows: int, n_cols: int, chunk: int, seed: int = 42
+) -> RDD:
+    """Chunked random matrix (reference `matrix_multiplication.py:25-26`
+    `da.random.random(shape, chunks)`): RDD of ((bi, bj), block) with
+    per-block deterministic seeds, generated on executors."""
+    bi_n = (n_rows + chunk - 1) // chunk
+    bj_n = (n_cols + chunk - 1) // chunk
+    coords = [(bi, bj) for bi in range(bi_n) for bj in range(bj_n)]
+
+    def make(coord: tuple[int, int]) -> Block:
+        bi, bj = coord
+        rng = np.random.RandomState(seed + bi * 100003 + bj)
+        rows = min(chunk, n_rows - bi * chunk)
+        cols = min(chunk, n_cols - bj * chunk)
+        return (bi, bj), rng.random_sample((rows, cols))
+
+    return spark.sparkContext.parallelize(coords, len(coords)).map(make)
+
+
+def block_matmul(a: RDD, b: RDD) -> RDD:
+    """C = A @ B over block RDDs: join on the contraction index k, local
+    numpy matmul per block pair, reduce partial products by output
+    coordinate — dask's blockwise contraction as a keyed shuffle."""
+    a_k = a.map(lambda kv: (kv[0][1], (kv[0][0], kv[1])))  # k -> (i, A_ik)
+    b_k = b.map(lambda kv: (kv[0][0], (kv[0][1], kv[1])))  # k -> (j, B_kj)
+    return (
+        a_k.join(b_k)
+        .map(lambda kv: ((kv[1][0][0], kv[1][1][0]), kv[1][0][1] @ kv[1][1][1]))
+        .reduceByKey(lambda x, y: x + y)
+    )
+
+
+def collect_matrix(blocks: RDD) -> np.ndarray:
+    """Assemble a block RDD on the driver (tests/small results only)."""
+    parts = dict(blocks.collect())
+    bi_n = max(k[0] for k in parts) + 1
+    bj_n = max(k[1] for k in parts) + 1
+    return np.block([[parts[(i, j)] for j in range(bj_n)] for i in range(bi_n)])
+
+
+def svd_tall_skinny(rows: RDD, n_cols: int, compute_u: bool = False):
+    """TSQR SVD (reference `svd_tall_skinny_matrix.py:21-25`,
+    `da.linalg.svd`): per-partition QR → R factors tree-reduced by
+    stacked QR → small (k×k) SVD on the driver. `rows` is an RDD of 1-D
+    row vectors. Returns (s, Vt) — and U via one more distributed pass
+    when compute_u (U = A @ V @ diag(1/s), row-local)."""
+
+    def local_r(it):
+        block = np.array(list(it), dtype=np.float64)
+        if block.size == 0:
+            return []
+        return [np.linalg.qr(block, mode="r")]
+
+    def combine_r(r1: np.ndarray, r2: np.ndarray) -> np.ndarray:
+        return np.linalg.qr(np.vstack([r1, r2]), mode="r")
+
+    r = rows.mapPartitions(local_r).treeReduce(combine_r)
+    _, s, vt = np.linalg.svd(r)
+    if not compute_u:
+        return s, vt
+    v_s_inv = vt.T @ np.diag(1.0 / s)
+    u = rows.map(lambda row: np.asarray(row, dtype=np.float64) @ v_s_inv)
+    return u, s, vt
+
+
+def svd_compressed(
+    blocks: RDD, shape: tuple[int, int], chunk: int, k: int, seed: int = 42, n_oversample: int = 10
+):
+    """Randomized SVD for square matrices (reference
+    `svd_square_matrix.py:18-24`, dask `svd_compressed`; Halko et al.):
+    project A through a random Gaussian Ω, orthonormalize Y = AΩ, form
+    B = QᵀA (small), SVD B on the driver."""
+    n_rows, n_cols = shape
+    p = k + n_oversample
+    rng = np.random.RandomState(seed)
+    omega = rng.standard_normal((n_cols, p))
+
+    # Y = A @ Omega: block-row local products, reduced per block-row
+    def times_omega(kv: Block):
+        (bi, bj), block = kv
+        return bi, block @ omega[bj * chunk : bj * chunk + block.shape[1]]
+
+    y_rows = blocks.map(times_omega).reduceByKey(lambda x, y: x + y)  # bi -> Y_bi
+    # TSQR on Y's block rows for orthonormal Q implicit via R
+    r = y_rows.map(lambda kv: np.linalg.qr(kv[1], mode="r")).treeReduce(
+        lambda r1, r2: np.linalg.qr(np.vstack([r1, r2]), mode="r")
+    )
+    r_inv = np.linalg.pinv(r)
+    # B = Qt A = (Y R^-1)^T A  -> accumulate per block-col, p x n_cols (small)
+    y_map = dict(y_rows.map(lambda kv: (kv[0], kv[1] @ r_inv)).collect())
+
+    def bt_block(kv: Block):
+        (bi, bj), block = kv
+        return bj, y_map[bi].T @ block
+
+    b_cols = blocks.map(bt_block).reduceByKey(lambda x, y: x + y).collect()
+    b = np.hstack([blk for _, blk in sorted(b_cols)])
+    _, s, vt = np.linalg.svd(b, full_matrices=False)
+    return s[:k], vt[:k]
+
+
+def kmeans_fit(df: DataFrame, k: int = 3, seed: int = 42, vec_col: str = "embedding"):
+    """KMeans over an array column (reference `benchmark/kmeans.py:22-28`,
+    dask_ml KMeans ≈ pyspark.ml scalable k-means||, same oversampling
+    initialization family)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.withColumn("features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    return KMeans(k=k, seed=seed, featuresCol="features").fit(feats)
+
+
+def parallel_post_fit_predict(
+    spark: SparkSession, model, df: DataFrame, feature_col: str = "embedding"
+) -> DataFrame:
+    """Broadcast-model batch predict (reference `parallelizing_svm.py:
+    32-42`, dask_ml ParallelPostFit): fit stays single-node, predict
+    distributes — the model rides a broadcast, each Arrow batch predicts
+    vectorized. Works for any object with .predict(ndarray)."""
+    bc = spark.sparkContext.broadcast(model)
+
+    def predict(batches):
+        import pandas as pd
+
+        m = bc.value
+        for pdf in batches:
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[feature_col]])
+            out = pdf.drop(columns=[feature_col]).copy()
+            out["prediction"] = pd.Series(np.asarray(m.predict(x)).ravel(), index=pdf.index)
+            yield out
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields if f.name != feature_col
+    )
+    return df.mapInPandas(predict, f"{out_schema}, prediction double")

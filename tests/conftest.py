@@ -8,7 +8,15 @@ import duckdb
 import pandas as pd
 import pytest
 
-sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+_ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(_ROOT))
+# python workers unpickle broadcast objects defined in test modules —
+# forward the repo + tests dirs into their import path
+import os  # noqa: E402
+
+os.environ["PYTHONPATH"] = (
+    f"{_ROOT}:{_ROOT / 'tests'}:" + os.environ.get("PYTHONPATH", "")
+)
 
 from dask_distributed_vanilla_spark.catalog import TABLES
 from dask_distributed_vanilla_spark.session import get_spark

@@ -1,0 +1,120 @@
+"""Client facade semantics (reference distributed/client.py surface,
+SURVEY.md §2.11): submit/map/gather, pure-key memoization, futures as
+arguments, scatter/compute/persist, published datasets, tree reduction,
+and the coordination primitives."""
+
+from __future__ import annotations
+
+import operator
+import time
+
+import pytest
+
+from dask_distributed_vanilla_spark import coordination as coord
+from dask_distributed_vanilla_spark.client import Client, as_completed, fire_and_forget, tree_reduce, wait
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def client(spark):
+    c = Client(spark)
+    yield c
+    c.close()
+
+
+def test_submit_map_gather(client):
+    fut = client.submit(operator.add, 1, 2)
+    assert fut.result() == 3
+    futs = client.map(operator.mul, range(5), range(5))
+    assert client.gather(futs) == [0, 1, 4, 9, 16]
+
+
+_MEMO_CALLS: list[int] = []
+
+
+def _double(x: int) -> int:
+    """Module-level so its token is stable (closure cell values are part
+    of a function's token, as in dask's normalize_function)."""
+    _MEMO_CALLS.append(x)
+    time.sleep(0.05)
+    return x * 2
+
+
+def test_pure_key_memoization(client):
+    """Identical pure calls share one future (reference client.py:1536)."""
+    _MEMO_CALLS.clear()
+    f1 = client.submit(_double, 21)
+    f2 = client.submit(_double, 21)
+    assert f1 is f2
+    assert f1.result() == 42
+    assert len(_MEMO_CALLS) == 1
+    f3 = client.submit(_double, 21, pure=False)
+    f3.result()
+    assert len(_MEMO_CALLS) == 2
+
+
+def test_futures_as_arguments(client):
+    """Futures in args become dependencies (reference client.py:1546)."""
+    a = client.submit(operator.add, 1, 1)
+    b = client.submit(operator.add, a, 10)
+    assert b.result() == 12
+
+
+def test_scatter_and_compute(client, spark):
+    import pandas as pd
+
+    df = client.scatter(pd.DataFrame({"x": [1, 2, 3]}))
+    fut = client.compute(df.selectExpr("sum(x) as s"))
+    assert fut.result()[0]["s"] == 6
+
+
+def test_persist_and_datasets(client, spark):
+    from dask_distributed_vanilla_spark.catalog import load_table
+
+    nation = client.persist(load_table(spark, SF_SMOKE, "nation"))
+    client.publish_dataset(nations_r1=nation)
+    assert "nations_r1" in client.list_datasets()
+    assert client.get_dataset("nations_r1").count() == 25
+    with pytest.raises(KeyError):
+        client.publish_dataset(nations_r1=nation)
+    client.unpublish_dataset("nations_r1")
+    assert "nations_r1" not in client.list_datasets()
+
+
+def test_wait_as_completed_fire_and_forget(client):
+    futs = client.map(lambda x: x + 1, range(4), pure=False)
+    done, pending = wait(futs)
+    assert len(done) == 4 and not pending
+    assert sorted(f.result() for f in as_completed(futs)) == [1, 2, 3, 4]
+    fire_and_forget(client.submit(lambda: 1 / 0, pure=False))
+
+
+def test_tree_reduce(client):
+    """1024-leaf add tree (reference benchmark/tree_reduction.py:17-31)."""
+    assert tree_reduce(client, operator.add, list(range(1024))).result() == 523776
+
+
+def test_coordination_primitives():
+    with coord.Lock("t"):
+        assert not coord.Lock("t")._lock.acquire(blocking=False)
+    ev = coord.Event("go")
+    assert not ev.is_set()
+    ev.set()
+    assert coord.Event("go").wait(0.1)
+    q = coord.Queue("jobs")
+    q.put({"x": 1})
+    assert coord.Queue("jobs").get(timeout=1) == {"x": 1}
+    v = coord.Variable("cfg")
+    v.set(42)
+    assert coord.Variable("cfg").get(timeout=1) == 42
+    sub = coord.Sub("topic1")
+    coord.Pub("topic1").put("msg")
+    assert sub.get(timeout=1) == "msg"
+    sub.close()
+    with coord.MultiLock(["a", "b"]):
+        assert not coord.Lock("a")._lock.acquire(blocking=False)
+    sem = coord.Semaphore("leases", max_leases=2)
+    assert sem.acquire(timeout=0.1) and sem.acquire(timeout=0.1)
+    assert not sem.acquire(timeout=0.01)
+    sem.release()
+    sem.release()

@@ -1,0 +1,130 @@
+"""Frame facade parity: reference-style dask code (queries.py idioms)
+through the facade must equal the native engine plans; plus ingest
+round-trips for the delimited readers."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from dask_distributed_vanilla_spark import frame as fr
+from dask_distributed_vanilla_spark.catalog import load_table
+from dask_distributed_vanilla_spark.operators.tpch import a6
+from dask_distributed_vanilla_spark.sources import readers
+from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+
+def _lineitem(spark):
+    return fr.Frame(load_table(spark, SF_SMOKE, "lineitem"))
+
+
+def test_facade_query1_near_verbatim(spark):
+    """The reference's query1 body (queries.py:27-66) with only the date
+    literal and `schema=`-style changes."""
+    lineitem = _lineitem(spark)
+    lineitem_filtered = lineitem[lineitem["l_shipdate"] < "1998-10-01"]
+    lineitem_filtered["sum_charge"] = (
+        lineitem_filtered["l_extendedprice"]
+        * (1 - lineitem_filtered["l_discount"])
+        * (1 + lineitem_filtered["l_tax"])
+    )
+    gb = lineitem_filtered.groupby(["l_returnflag", "l_linestatus"])
+    total = gb.agg({"l_quantity": ["sum", "mean"], "sum_charge": "sum", "l_orderkey": "count"})
+    pdf = total.compute()
+    # independent check against plain Spark SQL over the same view
+    load_table(spark, SF_SMOKE, "lineitem").createOrReplaceTempView("lineitem_q1")
+    want = spark.sql(
+        """SELECT l_returnflag, l_linestatus,
+                  SUM(l_quantity) l_quantity_sum, AVG(l_quantity) l_quantity_mean,
+                  SUM(l_extendedprice*(1-l_discount)*(1+l_tax)) sum_charge,
+                  COUNT(l_orderkey) l_orderkey
+           FROM lineitem_q1 WHERE l_shipdate < '1998-10-01'
+           GROUP BY 1,2 ORDER BY 1,2"""
+    ).toPandas()
+    assert_matches_oracle(pdf, want, "facade_q1")
+
+
+def test_facade_query6_scalar_reduction(spark):
+    """queries.py:280-327 — including the Series scalar sum dask needs
+    workarounds for."""
+    li = _lineitem(spark)
+    flt = li[
+        (li["l_shipdate"] >= "1996-01-01")
+        & (li["l_shipdate"] < "1997-01-01")
+        & (li["l_discount"] >= 0.05)
+        & (li["l_discount"] <= 0.07)
+        & (li["l_quantity"] < 24)
+    ]
+    flt["revenue"] = flt["l_extendedprice"] * flt["l_discount"]
+    got = flt["revenue"].sum()
+    want = a6(spark, SF_SMOKE).collect()[0]["revenue"]
+    assert abs(got - want) < 1.0  # a6 rounds; got is unrounded
+
+
+def test_facade_merge_suffixes_and_nlargest(spark):
+    left = fr.Frame(load_table(spark, SF_SMOKE, "nation"))
+    right = fr.Frame(load_table(spark, SF_SMOKE, "region"))
+    j = left.merge(right, how="inner", left_on="n_regionkey", right_on="r_regionkey")
+    assert len(j) == 25
+    top = j.nlargest(3, "n_nationkey").compute()
+    assert list(top["n_nationkey"]) == [24, 23, 22]
+    # overlapping non-key columns get _x/_y
+    dup = left.merge(left, on="n_nationkey")
+    assert "n_name_x" in dup.columns and "n_name_y" in dup.columns
+
+
+def test_facade_str_where_isin_unique(spark):
+    part = fr.Frame(load_table(spark, SF_SMOKE, "part"))
+    brass = part[part["p_type"].str.startswith("PROMO")]
+    assert len(brass) > 0
+    part["flagged"] = part["p_brand"].where(part["p_brand"].isin(["Brand#1"]), "other")
+    vals = set(part["flagged"].unique())
+    assert vals == {"Brand#1", "other"}
+    year = part["p_name"].str[0:3]
+    assert all(len(v) <= 3 for v in year.unique())
+
+
+def test_facade_groupby_apply(spark):
+    """test_collections.py:163-186 — groupby.apply with explicit schema."""
+    ev = fr.Frame(load_table(spark, SF_SMOKE, "events"))
+
+    def span(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": [pdf.user_id.iloc[0]], "n": [len(pdf)]}
+        )
+
+    out = ev.groupby("user_id").apply(span, schema="user_id long, n long")
+    pdf = out.compute()
+    assert pdf["n"].sum() == len(ev)
+
+
+def test_facade_concat_dropdup_sort(spark):
+    n = fr.Frame(load_table(spark, SF_SMOKE, "nation"))
+    doubled = fr.concat([n, n])
+    assert len(doubled) == 50
+    assert len(doubled.drop_duplicates()) == 25
+    s = doubled.drop_duplicates().sort_values("n_name", ascending=False).compute()
+    assert s["n_name"].iloc[0] == "NATION_9"  # string sort, unavailable in dask ref
+
+
+def test_delimited_reader_roundtrip(spark, tmp_path):
+    """Write nation as dbgen-style .tbl (trailing |), read via the
+    loaddata.py-mirror reader, compare to the parquet truth."""
+    truth = load_table(spark, SF_SMOKE, "nation").toPandas()
+    tbl = tmp_path / "nation.tbl"
+    with open(tbl, "w") as fh:
+        for r in truth.itertuples(index=False):
+            fh.write(f"{r.n_nationkey}|{r.n_name}|{r.n_regionkey}|no comment|\n")
+    got = readers.read_delimited(spark, str(tbl), "nation").toPandas()
+    assert list(got.columns) == ["n_nationkey", "n_name", "n_regionkey", "n_comment"]
+    merged = got[["n_nationkey", "n_name", "n_regionkey"]].sort_values("n_nationkey")
+    assert merged.reset_index(drop=True).equals(
+        truth.sort_values("n_nationkey").reset_index(drop=True)
+    )
+
+
+def test_timeseries_source(spark):
+    ts = readers.timeseries(spark, "2000-01-01", "2000-01-01 00:01:00", freq_seconds=1)
+    pdf = ts.toPandas()
+    assert len(pdf) == 60
+    assert set(pdf.columns) == {"timestamp", "id", "name", "x", "y"}
+    assert pdf["x"].between(-1, 1).all()

@@ -1,0 +1,71 @@
+"""Array/linalg parity vs numpy at miniature scale (the reference's
+benchmark surface: matmul, TSQR SVD, randomized square SVD, kmeans,
+broadcast-model predict)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dask_distributed_vanilla_spark import linalg
+from dask_distributed_vanilla_spark.catalog import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_block_matmul_matches_numpy(spark):
+    a = linalg.random_block_matrix(spark, 60, 40, chunk=16, seed=1)
+    b = linalg.random_block_matrix(spark, 40, 24, chunk=16, seed=2)
+    got = linalg.collect_matrix(linalg.block_matmul(a, b))
+    want = linalg.collect_matrix(a) @ linalg.collect_matrix(b)
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_tsqr_svd_tall_skinny(spark):
+    rng = np.random.RandomState(0)
+    mat = rng.random_sample((300, 8))
+    rows = spark.sparkContext.parallelize(list(mat), 6)
+    s, vt = linalg.svd_tall_skinny(rows, n_cols=8)
+    np.testing.assert_allclose(s, np.linalg.svd(mat, compute_uv=False), rtol=1e-8)
+    # U path reconstructs A
+    u, s2, vt2 = linalg.svd_tall_skinny(rows, n_cols=8, compute_u=True)
+    u_mat = np.array(u.collect())
+    np.testing.assert_allclose(u_mat @ np.diag(s2) @ vt2, mat, atol=1e-8)
+
+
+def test_svd_compressed_square(spark):
+    # low-rank square matrix: randomized SVD recovers leading spectrum
+    rng = np.random.RandomState(0)
+    base = rng.random_sample((64, 5)) @ rng.random_sample((5, 64))
+    chunk = 16
+    blocks = [
+        ((i, j), base[i * chunk : (i + 1) * chunk, j * chunk : (j + 1) * chunk])
+        for i in range(4)
+        for j in range(4)
+    ]
+    rdd = spark.sparkContext.parallelize(blocks, 8)
+    s, vt = linalg.svd_compressed(rdd, (64, 64), chunk, k=5, seed=3)
+    np.testing.assert_allclose(
+        s, np.linalg.svd(base, compute_uv=False)[:5], rtol=1e-6
+    )
+
+
+def test_kmeans_fit_predict(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    model = linalg.kmeans_fit(emb, k=3)
+    assert len(model.clusterCenters()) == 3
+
+
+class _ThresholdModel:
+    """Stand-in for a fitted sklearn-style estimator."""
+
+    def predict(self, x: np.ndarray) -> np.ndarray:
+        return (x.mean(axis=1) > 0).astype(float)
+
+
+def test_parallel_post_fit_predict(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    out = linalg.parallel_post_fit_predict(spark, _ThresholdModel(), emb)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    assert set(out.columns) == {"vec_id", "prediction"}
+    assert all(r.prediction in (0.0, 1.0) for r in rows)
