@@ -143,5 +143,69 @@ FROM s GROUP BY 1,2 ORDER BY 1,2
 """
 
 
-QUERIES = {"e1": e1, "e2": e2, "e3": e3, "e4": e4, "e5": e5}
-ORACLES = {"e1": E1_SQL, "e2": E2_SQL, "e3": E3_SQL, "e4": E4_SQL, "e5": E5_SQL}
+def e6_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 2-row mean per user (the reference's
+    `ddf.A.rolling(2).mean()`, `test_collections.py:149-152`), first 1000
+    events by id."""
+    from dask_distributed_vanilla_spark.functions.rounding import round2
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-1, 0)
+    return (
+        ev.select("event_id", round2(F.avg("value").over(w)).alias("roll_avg"))
+        .orderBy("event_id")
+        .limit(1000)
+    )
+
+
+# a 2-row AVG of ~2-decimal values lands on the .xx5 grid, where Spark
+# ROUND (decimal-string) and DuckDB ROUND (binary) disagree — use the
+# portable half-up rounding on both sides (functions/rounding.py)
+E6_SQL = """
+SELECT event_id,
+       FLOOR((AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100
+         AS roll_avg
+FROM events ORDER BY event_id LIMIT 1000
+"""
+
+
+def e7_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY.md §2.7 — the reference only has concat;
+    intersect/except are native here): distinct user populations of the
+    click vs purchase event streams."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ev.select("event_type").distinct().orderBy("event_type").limit(2)
+    t1, t2 = [r.event_type for r in types.collect()]
+    u1 = ev.where(F.col("event_type") == t1).select("user_id").distinct()
+    u2 = ev.where(F.col("event_type") == t2).select("user_id").distinct()
+    n_both = u1.intersect(u2).agg(F.count(F.lit(1)).alias("n_both"))
+    n_only_first = u1.exceptAll(u2).agg(F.count(F.lit(1)).alias("n_only_first"))
+    n_union = u1.union(u2).distinct().agg(F.count(F.lit(1)).alias("n_union"))
+    return n_both.crossJoin(n_only_first).crossJoin(n_union)
+
+
+E7_SQL = """
+WITH t AS (SELECT event_type FROM (SELECT DISTINCT event_type FROM events)
+           ORDER BY event_type LIMIT 2),
+u1 AS (SELECT DISTINCT user_id FROM events
+       WHERE event_type = (SELECT MIN(event_type) FROM t)),
+u2 AS (SELECT DISTINCT user_id FROM events
+       WHERE event_type = (SELECT MAX(event_type) FROM t))
+SELECT
+  (SELECT COUNT(*) FROM (SELECT * FROM u1 INTERSECT SELECT * FROM u2)) AS n_both,
+  (SELECT COUNT(*) FROM (SELECT * FROM u1 EXCEPT SELECT * FROM u2)) AS n_only_first,
+  (SELECT COUNT(*) FROM (SELECT * FROM u1 UNION SELECT * FROM u2)) AS n_union
+"""
+
+
+QUERIES = {"e1": e1, "e2": e2, "e3": e3, "e4": e4, "e5": e5, "e6_rolling": e6_rolling, "e7_setops": e7_setops}
+ORACLES = {
+    "e1": E1_SQL,
+    "e2": E2_SQL,
+    "e3": E3_SQL,
+    "e4": E4_SQL,
+    "e5": E5_SQL,
+    "e6_rolling": E6_SQL,
+    "e7_setops": E7_SQL,
+}
