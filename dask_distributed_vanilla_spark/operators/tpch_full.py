@@ -1,0 +1,315 @@
+"""Tier B — full-TPC-H queries requiring the extended fixtures
+(FIXTURES.md §3: partsupp + the reduced columns).
+
+The reference implements (or attempts) these in `benchmark/tpch/queries.py`:
+Q2 `queries.py:100-135`, Q11 `queries.py:492-539`, Q12 `queries.py:586-609`
+(CASE-via-where emulation), Q16 `queries.py:583-?` (commented
+countDistinct, `queries.py:757-761`), Q20 `queries.py:690-747`,
+Q21 `queries.py:750-783` (unfinished in the reference). Declared
+semantics are the standard TPC-H shapes with parameters recalibrated to
+the synthetic fixture distributions; reference bugs (string-literal date
+comparison `queries.py:232`, chained-assignment no-ops `queries.py:429,
+564`) are NOT reproduced — SURVEY.md §2.12 Tier B note.
+
+These are registered in the judged registry ONLY when the target scale
+directory contains partsupp (the driver's fixtures don't yet);
+tests/test_tier_b.py verifies all six differentially against DuckDB on
+generated extension fixtures (tools/gen_tier_b.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dask_distributed_vanilla_spark.catalog import load_table
+from dask_distributed_vanilla_spark.functions.dates import ts
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- Q2: minimum-cost supplier --------------------------------------------
+def b2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated MIN subquery decorrelated as groupBy+equality join; the
+    region-restricted supply costs are computed once and reused for both
+    the candidate rows and the per-part minimum."""
+    ps = _t(spark, sf_dir, "partsupp")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_type") == "STANDARD") & F.col("p_size").between(1, 15)
+    )
+    eligible = (
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+    )
+    min_cost = eligible.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
+        F.min("ps_supplycost").alias("min_supplycost")
+    )
+    return (
+        eligible.join(p, F.col("ps_partkey") == p.p_partkey)
+        .join(min_cost, F.col("ps_partkey") == F.col("mc_partkey"))
+        .where(F.col("ps_supplycost") == F.col("min_supplycost"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_mfgr",
+            "s_address", "s_phone", "s_comment",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+B2_SQL = """
+SELECT s_acctbal, s_name, n_name, p_partkey, p_mfgr, s_address, s_phone, s_comment
+FROM part
+JOIN partsupp ON p_partkey = ps_partkey
+JOIN supplier ON s_suppkey = ps_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE p_type = 'STANDARD' AND p_size BETWEEN 1 AND 15 AND r_name = 'EUROPE'
+  AND ps_supplycost = (
+    SELECT MIN(ps_supplycost)
+    FROM partsupp
+    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE part.p_partkey = ps_partkey AND r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+# --- Q11: value concentration ---------------------------------------------
+def b11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING against a scalar fraction of the global aggregate — the
+    grand-total-as-broadcast pattern (reference computes the scalar then
+    assigns it as a column, queries.py:504)."""
+    ps = _t(spark, sf_dir, "partsupp")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    filtered = ps.join(s, ps.ps_suppkey == s.s_suppkey).join(
+        n, s.s_nationkey == n.n_nationkey
+    )
+    value = F.sum(F.col("ps_supplycost") * F.col("ps_availqty"))
+    per_part = filtered.groupBy("ps_partkey").agg(value.alias("part_value"))
+    threshold = filtered.agg((value * 0.01).alias("threshold"))
+    return (
+        per_part.crossJoin(F.broadcast(threshold))
+        .where(F.col("part_value") > F.col("threshold"))
+        .select("ps_partkey", F.round("part_value", 2).alias("value"))
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+B11_SQL = """
+SELECT ps_partkey, ROUND(SUM(ps_supplycost * ps_availqty), 2) AS value
+FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+GROUP BY 1
+HAVING SUM(ps_supplycost * ps_availqty) > (
+  SELECT SUM(ps_supplycost * ps_availqty) * 0.01
+  FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3')
+ORDER BY value DESC, ps_partkey
+"""
+
+
+# --- Q12: shipping modes and order priority -------------------------------
+def b12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipmode").isin("MAIL", "SHIP")
+        & (F.col("l_commitdate") < F.col("l_receiptdate"))
+        & (F.col("l_shipdate") < F.col("l_commitdate"))
+        & (F.col("l_receiptdate") >= ts("1996-01-01"))
+        & (F.col("l_receiptdate") < ts("1997-01-01"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_shipmode")
+    )
+
+
+B12_SQL = """
+SELECT l_shipmode,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipmode IN ('MAIL','SHIP')
+  AND l_commitdate < l_receiptdate AND l_shipdate < l_commitdate
+  AND l_receiptdate >= DATE '1996-01-01' AND l_receiptdate < DATE '1997-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- Q16: parts/supplier relationship -------------------------------------
+def b16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN → left_anti; COUNT(DISTINCT) — the op the reference only
+    aspires to (`queries.py:757-761` commented countDistinct)."""
+    complainers = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_comment").like("%Customer%Complaints%"))
+        .select("s_suppkey")
+    )
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#15")
+        & ~F.col("p_type").startswith("MEDIUM")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    ps = _t(spark, sf_dir, "partsupp").join(
+        complainers, F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti"
+    )
+    return (
+        ps.join(p, F.col("ps_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+B16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#15' AND p_type NOT LIKE 'MEDIUM%'
+  AND p_size IN (1,4,7,10,13,16,19,22)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                         WHERE s_comment LIKE '%Customer%Complaints%')
+GROUP BY 1,2,3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# --- Q20: potential part promotion ----------------------------------------
+def b20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested IN/correlated-scalar chain decorrelated to joins: red
+    parts → their partsupp rows → per-(part,supp) shipped quantity →
+    availability threshold → supplier semi-join (the reference builds the
+    same chain manually, queries.py:704-747)."""
+    red_parts = (
+        _t(spark, sf_dir, "part").where(F.col("p_name").startswith("red")).select("p_partkey")
+    )
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= ts("1996-01-01")) & (F.col("l_shipdate") < ts("1997-01-01"))
+    )
+    shipped = l.groupBy(
+        F.col("l_partkey").alias("q_partkey"), F.col("l_suppkey").alias("q_suppkey")
+    ).agg((0.5 * F.sum("l_quantity")).alias("half_qty"))
+    qualifying = (
+        _t(spark, sf_dir, "partsupp")
+        .join(red_parts, F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("q_partkey"))
+            & (F.col("ps_suppkey") == F.col("q_suppkey")),
+        )
+        .where(F.col("ps_availqty") > F.col("half_qty"))
+        .select("ps_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_8")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(qualifying, s.s_suppkey == F.col("ps_suppkey"), "left_semi")
+        .select("s_name", "s_address")
+        .orderBy("s_name")
+    )
+
+
+B20_SQL = """
+SELECT s_name, s_address
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_8'
+  AND s_suppkey IN (
+    SELECT ps_suppkey FROM partsupp
+    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      AND ps_availqty > (SELECT 0.5 * SUM(l_quantity) FROM lineitem
+                         WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+                           AND l_shipdate >= DATE '1996-01-01'
+                           AND l_shipdate < DATE '1997-01-01'))
+ORDER BY s_name
+"""
+
+
+# --- Q21: suppliers who kept orders waiting -------------------------------
+def b21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS + NOT EXISTS with anti-correlation on the same fact table:
+    semi-join for 'another supplier contributed', anti-join for 'no other
+    supplier was late' (the reference left this unfinished,
+    queries.py:750-783)."""
+    l1 = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_receiptdate") > F.col("l_commitdate")
+    )
+    l2 = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey"))
+    )
+    l3 = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_receiptdate") > F.col("l_commitdate"))
+        .select(F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey"))
+    )
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_8")
+    return (
+        l1.join(o, l1.l_orderkey == o.o_orderkey)
+        .join(s, l1.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+B21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F' AND l1.l_receiptdate > l1.l_commitdate
+  AND n_name = 'NATION_8'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_receiptdate > l3.l_commitdate)
+GROUP BY 1 ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+QUERIES = {"b2": b2, "b11": b11, "b12": b12, "b16": b16, "b20": b20, "b21": b21}
+ORACLES = {
+    "b2": B2_SQL,
+    "b11": B11_SQL,
+    "b12": B12_SQL,
+    "b16": B16_SQL,
+    "b20": B20_SQL,
+    "b21": B21_SQL,
+}

@@ -18,13 +18,32 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
+def _tier_b_available() -> bool:
+    """Tier B (full TPC-H) activates only when the driver fixtures carry
+    the FIXTURES.md §3 extension tables (SURVEY.md §2.12)."""
+    from pathlib import Path
+
+    return Path("/root/testdata/sf0.01/partsupp.parquet").exists()
+
+
 def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
-    from dask_distributed_vanilla_spark.operators import dedup, events, multimodal, similarity, text, tpch
+    from dask_distributed_vanilla_spark.operators import (
+        dedup,
+        events,
+        multimodal,
+        similarity,
+        text,
+        tpch,
+        tpch_full,
+    )
     from dask_distributed_vanilla_spark.streaming import events_stream
 
+    mods = [tpch, events, dedup, similarity, text, multimodal, events_stream]
+    if _tier_b_available():
+        mods.append(tpch_full)
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
-    for mod in (tpch, events, dedup, similarity, text, multimodal, events_stream):
+    for mod in mods:
         queries.update(mod.QUERIES)
         oracles.update({k: v for k, v in mod.ORACLES.items() if v is not None})
     return queries, oracles
