@@ -27,7 +27,11 @@ SF_CORRECT = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("tests", master="local[8]")
+    s = get_spark(
+        "tests",
+        master="local[8]",
+        **{"spark.sql.warehouse.dir": "/tmp/ddvs-test-warehouse"},
+    )
     yield s
 
 

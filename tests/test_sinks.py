@@ -1,0 +1,68 @@
+"""Sink layouts and their read-side payoff: partition pruning and
+shuffle-free bucketed joins — the 100 TB layout decisions, asserted on
+the physical plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_distributed_vanilla_spark.catalog import load_table
+from dask_distributed_vanilla_spark.plans.explainer import formatted_plan
+from dask_distributed_vanilla_spark.sources import writers
+from tests.conftest import SF_SMOKE
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    ev = load_table(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "events_by_type")
+    writers.write_partitioned(ev, path, ["event_type"])
+    back = spark.read.parquet(path).where(F.col("event_type") == "click")
+    plan = formatted_plan(back)
+    # partition filter appears as PartitionFilters, not a data filter
+    assert "PartitionFilters" in plan and "event_type" in plan
+    want = ev.where(F.col("event_type") == "click").count()
+    assert back.count() == want
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    spark.sql("CREATE DATABASE IF NOT EXISTS bucketed_test")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    lineitem = load_table(spark, SF_SMOKE, "lineitem")
+    writers.write_bucketed(
+        orders, "bucketed_test.orders_b", ["o_orderkey"], n_buckets=8
+    )
+    writers.write_bucketed(
+        lineitem, "bucketed_test.lineitem_b", ["l_orderkey"], n_buckets=8
+    )
+    o = spark.table("bucketed_test.orders_b")
+    l = spark.table("bucketed_test.lineitem_b")
+    # forbid broadcast so the join would otherwise need a full shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = o.join(l, o.o_orderkey == l.l_orderkey).groupBy("o_orderkey").count()
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan
+        # co-bucketed scan-side inputs: no Exchange feeds the join
+        join_section = plan.split("SortMergeJoin")[0]
+        assert "Exchange" not in join_section, f"bucketed join still shuffles:\n{plan}"
+        # values still correct
+        rows = joined.count()
+        want = (
+            orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+            .groupBy("o_orderkey")
+            .count()
+            .count()
+        )
+        assert rows == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.sql("DROP TABLE IF EXISTS bucketed_test.orders_b")
+        spark.sql("DROP TABLE IF EXISTS bucketed_test.lineitem_b")
+
+
+def test_plain_parquet_roundtrip(spark, tmp_path):
+    n = load_table(spark, SF_SMOKE, "nation")
+    path = str(tmp_path / "nation_out")
+    writers.write_parquet(n, path)
+    assert spark.read.parquet(path).count() == 25
