@@ -108,9 +108,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact algorithm: shingle-inverted-index self-join → per-pair common
     count → Jaccard from per-doc shingle counts. Jaccard is a ratio of
     exact integers, so the value is bit-identical across engines.
+
+    Posting-list filter: a shingle held by a single document cannot
+    produce a pair, and on real corpora most shingles are unique — the
+    semi-join against multi-document shingles shrinks the self-join
+    input by an order of magnitude without changing the result.
     """
     sh = _shingle_table(spark, sf_dir)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    shared = (
+        sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") > 1).select("sh")
+    )
+    sh = sh.join(shared, "sh", "left_semi")
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
