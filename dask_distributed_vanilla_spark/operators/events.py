@@ -199,7 +199,37 @@ SELECT
 """
 
 
-QUERIES = {"e1": e1, "e2": e2, "e3": e3, "e4": e4, "e5": e5, "e6_rolling": e6_rolling, "e7_setops": e7_setops}
+def e8_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP (SURVEY.md §2.4 — absent from the
+    reference, free in Spark): per (event_type, day), per event_type, and
+    grand total in one pass of partial aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.date_trunc("day", F.col("ts")))
+        .rollup("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+        .orderBy(F.col("event_type").asc_nulls_first(), F.col("day").asc_nulls_first())
+    )
+
+
+E8_SQL = """
+SELECT event_type, day, COUNT(*) AS n, ROUND(SUM(value),2) AS sv
+FROM (SELECT event_type, date_trunc('day', ts) AS day, value FROM events)
+GROUP BY ROLLUP(event_type, day)
+ORDER BY event_type NULLS FIRST, day NULLS FIRST
+"""
+
+
+QUERIES = {
+    "e1": e1,
+    "e2": e2,
+    "e3": e3,
+    "e4": e4,
+    "e5": e5,
+    "e6_rolling": e6_rolling,
+    "e7_setops": e7_setops,
+    "e8_rollup": e8_rollup,
+}
 ORACLES = {
     "e1": E1_SQL,
     "e2": E2_SQL,
@@ -208,4 +238,5 @@ ORACLES = {
     "e5": E5_SQL,
     "e6_rolling": E6_SQL,
     "e7_setops": E7_SQL,
+    "e8_rollup": E8_SQL,
 }
