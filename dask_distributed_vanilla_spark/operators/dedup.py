@@ -58,18 +58,26 @@ def shingles_from_words(words: Column, n: int = NGRAM) -> Column:
     return F.when(F.size(words) >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
-def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingle_table(spark: SparkSession, sf_dir: str, materialize: bool = False) -> DataFrame:
     """(doc_id, sh) — distinct word n-gram shingles per document.
 
     Two-step projection so split() is evaluated once per document, not
     once per shingle (CollapseProject keeps multi-referenced non-cheap
     expressions materialized).
+
+    ``materialize=True`` localCheckpoints the exploded table: the dedup
+    pipelines consume it 3-4 times (doc counts, posting-list filter,
+    both self-join sides), and re-exploding the corpus per consumer
+    costs more than storing it. Blocks free when the plan is GC'd; on a
+    cluster, executor loss forces a query retry (no lineage) — the
+    standard trade for checkpointed intermediates.
     """
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select("doc_id", F.split(F.col("text"), " ").alias("words"))
-    return words.select(
+    sh = words.select(
         "doc_id", F.explode(F.array_distinct(shingles_from_words(F.col("words")))).alias("sh")
     )
+    return sh.localCheckpoint() if materialize else sh
 
 
 _SHINGLE_SQL = f"""
@@ -114,7 +122,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join against multi-document shingles shrinks the self-join
     input by an order of magnitude without changing the result.
     """
-    sh = _shingle_table(spark, sf_dir)
+    sh = _shingle_table(spark, sf_dir, materialize=True)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     shared = (
         sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") > 1).select("sh")
@@ -189,7 +197,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys are fixed-width, and band buckets parallelize freely.
     """
     rows_per_band = MINHASH_K // LSH_BANDS
-    sig = minhash_signatures(spark, sf_dir)
+    sh_base = _shingle_table(spark, sf_dir, materialize=True)
+    hs = sh_base.select("doc_id", F.md5(F.col("sh")).alias("h"))
+    sig = hs.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.concat(F.substring("h", k + 1, 32 - k), F.substring("h", 1, k))
+            ).alias(f"mh{k}")
+            for k in range(MINHASH_K)
+        ]
+    )
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -220,8 +237,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact verification restricted to candidates
-    sh = _shingle_table(spark, sf_dir)
+    # exact verification restricted to candidates, on the same
+    # materialized shingle table the signatures used
+    sh = sh_base
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
