@@ -200,6 +200,59 @@ class Client:
         self._datasets.pop(name, None)
         self.spark.catalog.dropGlobalTempView(name)
 
+    # -- cluster control (reference client.py:2354-3060) -------------------
+    def run(self, fn, *args: Any, on_executors: bool = False):
+        """Run a function out-of-band (reference `client.py:2409`
+        `run`/`run_on_scheduler`). Driver-side by default; with
+        ``on_executors`` it executes once per executor core slot via a
+        short job (the Spark shape for env-setup side effects)."""
+        if not on_executors:
+            return fn(*args)
+        sc = self.spark.sparkContext
+        n = sc.defaultParallelism
+        return sc.parallelize(range(n), n).map(lambda _: fn(*args)).collect()
+
+    def upload_file(self, path: str) -> None:
+        """Ship a dependency to executors (reference `client.py:3030`)."""
+        if path.endswith((".py", ".zip", ".egg")):
+            self.spark.sparkContext.addPyFile(path)
+        else:
+            self.spark.sparkContext.addFile(path)
+
+    def retry(self, fn, *args: Any, **kwargs: Any):
+        """Resubmit a failed pure call (reference `client.py:2189`): drop
+        the memoized future (which may hold the error) and resubmit."""
+        key = tokenize(fn, *args, **kwargs)
+        if key is not None:
+            with self._lock:
+                self._pure_cache.pop(key, None)
+        return self.submit(fn, *args, **kwargs)
+
+    def wait_for_workers(self, n_workers: int, timeout: float = 60.0) -> None:
+        """Reference `client.py:1138`; on Spark, block until the cluster
+        offers at least n parallel slots (immediate in local mode)."""
+        import time as _time
+
+        deadline = _time.monotonic() + timeout
+        while self.spark.sparkContext.defaultParallelism < n_workers:
+            if _time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"{self.spark.sparkContext.defaultParallelism} < {n_workers} slots"
+                )
+            _time.sleep(0.5)
+
+    def profile(self) -> dict[str, Any]:
+        """Execution introspection (reference `client.py:3335`
+        `profile`/`performance_report`): job/stage counters from the
+        status tracker — the Spark UI REST API holds the full detail."""
+        st = self.spark.sparkContext.statusTracker()
+        return {
+            "active_jobs": list(st.getActiveJobsIds()),
+            "active_stages": list(st.getActiveStageIds()),
+            "default_parallelism": self.spark.sparkContext.defaultParallelism,
+            "cached_tables": len(self.spark.sparkContext._jsc.sc().getRDDStorageInfo()),
+        }
+
     # -- introspection (reference client.py:3172-3335) --------------------
     def who_has(self) -> dict[str, list[str]]:
         """Cached tables per executor via the status tracker (the

@@ -19,6 +19,7 @@ os.environ["PYTHONPATH"] = (
 )
 
 from dask_distributed_vanilla_spark.catalog import TABLES
+from dask_distributed_vanilla_spark.plans.canonical import canonical
 from dask_distributed_vanilla_spark.session import get_spark
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -42,22 +43,6 @@ def oracle():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'")
     yield con
     con.close()
-
-
-def canonical(df: pd.DataFrame) -> tuple[str, str]:
-    """Driver-style canonical form: columns sorted by name, floats %.2f,
-    rows sorted; returns (schema, value-hash)."""
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if df[c].dtype.kind == "f":
-            df[c] = df[c].map(lambda v: "" if pd.isna(v) else f"{v:.2f}")
-        elif str(df[c].dtype).startswith("datetime"):
-            df[c] = df[c].astype("datetime64[us]").astype(str)
-        else:
-            df[c] = df[c].astype(str)
-    rows = sorted(df.itertuples(index=False, name=None))
-    body = "\n".join(",".join(r) for r in rows)
-    return ",".join(df.columns), hashlib.md5(body.encode()).hexdigest()
 
 
 def assert_matches_oracle(sdf: pd.DataFrame, odf: pd.DataFrame, name: str = "") -> None:

@@ -20,31 +20,9 @@ import pandas as pd
 sys.path.insert(0, ".")
 
 from dask_distributed_vanilla_spark.catalog import TABLES
+from dask_distributed_vanilla_spark.plans.canonical import canonical
 from dask_distributed_vanilla_spark.plans.registry import all_oracles, all_queries
 from dask_distributed_vanilla_spark.session import get_spark
-
-
-def canonical(df: pd.DataFrame) -> tuple[str, str]:
-    """Order-insensitive canonical rendering: sort columns by name, rows
-    by all values, floats as %.2f; returns (schema_repr, value_hash).
-    Schema includes the pandas dtype so int-width mismatches between the
-    engine and the oracle surface here instead of in the driver."""
-    df = df[sorted(df.columns)].copy()
-    def _norm(dt) -> str:
-        s = str(dt)
-        return "datetime" if s.startswith("datetime") else s  # unit is a client artifact
-
-    dtypes = ",".join(f"{c}:{_norm(df[c].dtype)}" for c in df.columns)
-    for c in df.columns:
-        if df[c].dtype.kind == "f":
-            df[c] = df[c].map(lambda v: "" if pd.isna(v) else f"{v:.2f}")
-        elif str(df[c].dtype).startswith("datetime"):
-            df[c] = df[c].astype("datetime64[us]").astype(str)
-        else:
-            df[c] = df[c].astype(str)
-    rows = sorted(df.itertuples(index=False, name=None))
-    body = "\n".join(",".join(r) for r in rows)
-    return dtypes, hashlib.md5(body.encode()).hexdigest()
 
 
 def main() -> int:
