@@ -167,11 +167,38 @@ ORDER BY t.doc_id
 """
 
 
+def text_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex token counting (the BPE-ish pre-tokenizer pass): word-piece
+    candidates `[a-z0-9]+`, numeric tokens, and a deterministic
+    byte-per-token estimate. regexp_extract_all runs JVM-side; the
+    pattern is shared verbatim with the oracle (both RE2-compatible)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.expr(r"regexp_extract_all(text, '[a-z0-9]+', 0)")
+    nums = F.expr(r"regexp_extract_all(text, '[0-9]+', 0)")
+    n_words = F.size(words)
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_word_tokens"),
+        F.size(nums).cast("long").alias("n_numeric_tokens"),
+        round2(F.length("text") / F.greatest(n_words, F.lit(1))).alias("bytes_per_token"),
+    ).orderBy("doc_id")
+
+
+TEXT_TOKEN_REGEX_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-z0-9]+')) AS n_word_tokens,
+       len(regexp_extract_all(text, '[0-9]+')) AS n_numeric_tokens,
+       {round2_sql("length(text) * 1.0 / greatest(len(regexp_extract_all(text, '[a-z0-9]+')), 1)")} AS bytes_per_token
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
+    "text_token_regex": text_token_regex,
 }
 
 ORACLES = {
@@ -179,4 +206,5 @@ ORACLES = {
     "text_quality": TEXT_QUALITY_SQL,
     "text_langid": _langid_sql(),
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
+    "text_token_regex": TEXT_TOKEN_REGEX_SQL,
 }
