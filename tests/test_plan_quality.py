@@ -48,6 +48,25 @@ def test_a6_no_join_no_shuffle_heavy_plan(spark):
     assert plan.count("Exchange (") == 1
 
 
+def test_e5_single_data_shuffle(spark):
+    """Sessionization claim: lag, running-sum, and the session group-by
+    all reuse one user_id shuffle — only the output ORDER BY adds a
+    second exchange."""
+    from dask_distributed_vanilla_spark.operators.events import e5
+
+    plan = formatted_plan(e5(spark, SF_SMOKE))
+    assert plan.count("Exchange (") == 2
+    assert plan.count("Window (") == 2  # lag + running sum, no re-shuffle
+
+
+def test_a17_aggregates_before_join(spark):
+    """Decorrelated per-partkey AVG must reduce lineitem BEFORE the join
+    (the join input is |parts|, not |lineitem|)."""
+    plan = formatted_plan(tpch.a17(spark, SF_SMOKE))
+    assert "HashAggregate" in plan and "Join" in plan
+    assert plan.index("HashAggregate") < plan.index("Join")
+
+
 def test_whole_stage_codegen_active(spark):
     # AQE formatted plans hide codegen stages pre-execution; the codegen
     # explain mode reports the fused subtrees directly
