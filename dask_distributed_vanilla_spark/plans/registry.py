@@ -28,6 +28,7 @@ def _tier_b_available() -> bool:
 
 def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from dask_distributed_vanilla_spark.operators import (
+        asof,
         dedup,
         events,
         multimodal,
@@ -38,7 +39,7 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     )
     from dask_distributed_vanilla_spark.streaming import events_stream
 
-    mods = [tpch, events, dedup, similarity, text, multimodal, events_stream]
+    mods = [tpch, events, asof, dedup, similarity, text, multimodal, events_stream]
     if _tier_b_available():
         mods.append(tpch_full)
     queries: dict[str, QueryFn] = {}
