@@ -220,6 +220,33 @@ ORDER BY event_type NULLS FIRST, day NULLS FIRST
 """
 
 
+def e10_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (median/p90/p99). Spark `percentile`
+    and DuckDB `quantile_cont` share the same linear interpolation —
+    verified bit-identical on this data. Exact percentile sorts each
+    group; at 100 TB the scale path is `approx_percentile` (t-digest,
+    mergeable map-side) with a declared error bound."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 2).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 2).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 2).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+E10_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 2) AS p50,
+       ROUND(quantile_cont(value, 0.9), 2) AS p90,
+       ROUND(quantile_cont(value, 0.99), 2) AS p99
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "e1": e1,
     "e2": e2,
@@ -229,6 +256,7 @@ QUERIES = {
     "e6_rolling": e6_rolling,
     "e7_setops": e7_setops,
     "e8_rollup": e8_rollup,
+    "e10_percentiles": e10_percentiles,
 }
 ORACLES = {
     "e1": E1_SQL,
@@ -239,4 +267,5 @@ ORACLES = {
     "e6_rolling": E6_SQL,
     "e7_setops": E7_SQL,
     "e8_rollup": E8_SQL,
+    "e10_percentiles": E10_SQL,
 }
