@@ -304,12 +304,261 @@ LIMIT 100
 """
 
 
-QUERIES = {"b2": b2, "b11": b11, "b12": b12, "b16": b16, "b20": b20, "b21": b21}
+# --- Q3 full (o_shippriority in output) -----------------------------------
+def b3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query3 `queries.py:138-224` at full fidelity (o_shippriority)."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < ts("1995-03-15"))
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > ts("1995-03-15"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_shippriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_shippriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+B3_SQL = """
+SELECT l_orderkey, ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS revenue,
+       o_orderdate, o_shippriority
+FROM customer JOIN orders ON c_custkey=o_custkey
+JOIN lineitem ON l_orderkey=o_orderkey
+WHERE c_mktsegment='BUILDING' AND o_orderdate < DATE '1995-03-15'
+  AND l_shipdate > DATE '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_shippriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+"""
+
+
+# --- Q4 full (commitdate < receiptdate EXISTS) ----------------------------
+def b4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query4 `queries.py:227-238` with the REAL predicate — the
+    reference compares against the string literal 'l_receiptdate'
+    (`queries.py:232`, a bug not reproduced; SURVEY.md §2.12)."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= ts("1996-07-01")) & (F.col("o_orderdate") < ts("1996-10-01"))
+    )
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_commitdate") < F.col("l_receiptdate"))
+    return (
+        o.join(l, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+B4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey=o_orderkey AND l_commitdate < l_receiptdate)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- Q9 full (partsupp cost in the profit formula) ------------------------
+def b9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query9 `queries.py:436-467` at full fidelity: amount =
+    l_extendedprice*(1-l_discount) - ps_supplycost*l_quantity."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").contains("red"))
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    ps = _t(spark, sf_dir, "partsupp")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "ps_supplycost"
+    ) * F.col("l_quantity")
+    return (
+        p.join(l, p.p_partkey == l.l_partkey)
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            ps,
+            (F.col("ps_suppkey") == F.col("l_suppkey"))
+            & (F.col("ps_partkey") == F.col("l_partkey")),
+        )
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+B9_SQL = """
+SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+       ROUND(SUM(l_extendedprice*(1-l_discount) - ps_supplycost*l_quantity),2) AS sum_profit
+FROM part
+JOIN lineitem ON p_partkey=l_partkey
+JOIN supplier ON l_suppkey=s_suppkey
+JOIN partsupp ON ps_suppkey=l_suppkey AND ps_partkey=l_partkey
+JOIN nation   ON s_nationkey=n_nationkey
+JOIN orders   ON l_orderkey=o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1,2 ORDER BY nation, o_year DESC
+"""
+
+
+# --- Q10 full (address/phone/comment output) ------------------------------
+def b10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query10 `queries.py:470-489` with the full output columns."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= ts("1995-10-01")) & (F.col("o_orderdate") < ts("1996-01-01"))
+    )
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "c_custkey", "c_name", "c_acctbal", "c_phone", "n_name", "c_address", "c_comment"
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "c_custkey", "c_name", "revenue", "c_acctbal", "n_name",
+            "c_address", "c_phone", "c_comment",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+B10_SQL = """
+SELECT c_custkey, c_name, ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS revenue,
+       c_acctbal, n_name, c_address, c_phone, c_comment
+FROM customer JOIN orders ON c_custkey=o_custkey
+JOIN lineitem ON l_orderkey=o_orderkey
+JOIN nation ON c_nationkey=n_nationkey
+WHERE o_orderdate >= DATE '1995-10-01' AND o_orderdate < DATE '1996-01-01'
+  AND l_returnflag='R'
+GROUP BY c_custkey,c_name,c_acctbal,c_phone,n_name,c_address,c_comment
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+# --- Q19 full (containers + shipmode + shipinstruct) ----------------------
+def b19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query19 `queries.py:651-687` at full fidelity (container lists,
+    AIR shipmode, DELIVER IN PERSON — the reference's where-mask chain)."""
+    l = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipmode").isin("AIR", "AIR REG")
+        & (F.col("l_shipinstruct") == "DELIVER IN PERSON")
+    )
+    p = _t(spark, sf_dir, "part")
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_container").isin("SM CASE", "SM BOX", "SM PACK", "SM PKG")
+            & F.col("l_quantity").between(1, 11)
+            & F.col("p_size").between(1, 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_container").isin("MED BAG", "MED BOX", "MED PKG", "MED PACK")
+            & F.col("l_quantity").between(10, 20)
+            & F.col("p_size").between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_container").isin("LG CASE", "LG BOX", "LG PACK", "LG PKG")
+            & F.col("l_quantity").between(20, 30)
+            & F.col("p_size").between(1, 15)
+        )
+    )
+    return (
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .where(band)
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+B19_SQL = """
+SELECT ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS revenue
+FROM lineitem JOIN part ON p_partkey=l_partkey
+WHERE l_shipmode IN ('AIR','AIR REG') AND l_shipinstruct='DELIVER IN PERSON'
+  AND ((p_brand='Brand#12' AND p_container IN ('SM CASE','SM BOX','SM PACK','SM PKG')
+        AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+    OR (p_brand='Brand#23' AND p_container IN ('MED BAG','MED BOX','MED PKG','MED PACK')
+        AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+    OR (p_brand='Brand#15' AND p_container IN ('LG CASE','LG BOX','LG PACK','LG PKG')
+        AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15))
+"""
+
+
+# --- Q22 full (phone country codes) ---------------------------------------
+_B22_CODES = ["13", "31", "23", "29", "30", "18", "17"]
+
+
+def b22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query22 `queries.py:787-831` with real phone country-code
+    extraction (substring(c_phone,1,2) — the reference used the whole
+    phone string, `queries.py:791-793`, a bug not reproduced). NOT
+    EXISTS scoped to orders since 2000-01-01 as in a22."""
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "cntrycode", F.substring("c_phone", 1, 2)
+    ).where(F.col("cntrycode").isin(_B22_CODES))
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("avg_acctbal"))
+    recent = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") >= ts("2000-01-01"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_acctbal"))
+        .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(F.count(F.lit(1)).alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+        .orderBy("cntrycode")
+    )
+
+
+B22_SQL = f"""
+SELECT substring(c_phone, 1, 2) AS cntrycode, COUNT(*) AS numcust,
+       ROUND(SUM(c_acctbal),2) AS totacctbal
+FROM customer
+WHERE substring(c_phone, 1, 2) IN ({", ".join(f"'{c}'" for c in _B22_CODES)})
+  AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0.00
+                     AND substring(c_phone, 1, 2) IN ({", ".join(f"'{c}'" for c in _B22_CODES)}))
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey=c_custkey AND o_orderdate >= DATE '2000-01-01')
+GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES = {
+    "b2": b2,
+    "b3": b3,
+    "b4": b4,
+    "b9": b9,
+    "b10": b10,
+    "b11": b11,
+    "b12": b12,
+    "b16": b16,
+    "b19": b19,
+    "b20": b20,
+    "b21": b21,
+    "b22": b22,
+}
 ORACLES = {
     "b2": B2_SQL,
+    "b3": B3_SQL,
+    "b4": B4_SQL,
+    "b9": B9_SQL,
+    "b10": B10_SQL,
     "b11": B11_SQL,
     "b12": B12_SQL,
     "b16": B16_SQL,
+    "b19": B19_SQL,
     "b20": B20_SQL,
     "b21": B21_SQL,
+    "b22": B22_SQL,
 }
