@@ -11,10 +11,13 @@ the synthetic fixture distributions; reference bugs (string-literal date
 comparison `queries.py:232`, chained-assignment no-ops `queries.py:429,
 564`) are NOT reproduced — SURVEY.md §2.12 Tier B note.
 
-These are registered in the judged registry ONLY when the target scale
-directory contains partsupp (the driver's fixtures don't yet);
-tests/test_tier_b.py verifies all six differentially against DuckDB on
-generated extension fixtures (tools/gen_tier_b.py).
+The driver fixtures carry no partsupp / extended columns, so both
+engines derive the Tier B extension schema inline from the base tables
+with bit-exact deterministic arithmetic (sources/tierb.py): the Spark
+builders read derived DataFrames, the oracles prepend the equivalent
+CTEs (`tierb_sql`) over the driver's pre-registered views. The results
+are therefore fully hash-judgeable without extension fixture files.
+tests/test_tier_b.py verifies all twelve differentially against DuckDB.
 """
 
 from __future__ import annotations
@@ -22,12 +25,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dask_distributed_vanilla_spark.catalog import load_table
 from dask_distributed_vanilla_spark.functions.dates import ts
+from dask_distributed_vanilla_spark.sources.tierb import ext_table, tierb_sql
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
+    """Tier B view of a table: base scan + derived extension columns
+    (Catalyst prunes any derived column a query doesn't touch)."""
+    return ext_table(spark, sf_dir, name)
 
 
 # --- Q2: minimum-cost supplier --------------------------------------------
@@ -65,19 +70,19 @@ def b2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 B2_SQL = """
 SELECT s_acctbal, s_name, n_name, p_partkey, p_mfgr, s_address, s_phone, s_comment
-FROM part
+FROM part_x
 JOIN partsupp ON p_partkey = ps_partkey
-JOIN supplier ON s_suppkey = ps_suppkey
+JOIN supplier_x ON s_suppkey = ps_suppkey
 JOIN nation   ON s_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
 WHERE p_type = 'STANDARD' AND p_size BETWEEN 1 AND 15 AND r_name = 'EUROPE'
   AND ps_supplycost = (
     SELECT MIN(ps_supplycost)
     FROM partsupp
-    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN supplier_x ON s_suppkey = ps_suppkey
     JOIN nation   ON s_nationkey = n_nationkey
     JOIN region   ON n_regionkey = r_regionkey
-    WHERE part.p_partkey = ps_partkey AND r_name = 'EUROPE')
+    WHERE part_x.p_partkey = ps_partkey AND r_name = 'EUROPE')
 ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
 LIMIT 100
 """
@@ -146,7 +151,7 @@ B12_SQL = """
 SELECT l_shipmode,
        CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
        CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+FROM orders JOIN lineitem_x ON o_orderkey = l_orderkey
 WHERE l_shipmode IN ('MAIL','SHIP')
   AND l_commitdate < l_receiptdate AND l_shipdate < l_commitdate
   AND l_receiptdate >= DATE '1996-01-01' AND l_receiptdate < DATE '1997-01-01'
@@ -184,7 +189,7 @@ SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
 FROM partsupp JOIN part ON p_partkey = ps_partkey
 WHERE p_brand <> 'Brand#15' AND p_type NOT LIKE 'MEDIUM%'
   AND p_size IN (1,4,7,10,13,16,19,22)
-  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier_x
                          WHERE s_comment LIKE '%Customer%Complaints%')
 GROUP BY 1,2,3
 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
@@ -229,7 +234,7 @@ def b20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 B20_SQL = """
 SELECT s_name, s_address
-FROM supplier JOIN nation ON s_nationkey = n_nationkey
+FROM supplier_x JOIN nation ON s_nationkey = n_nationkey
 WHERE n_name = 'NATION_8'
   AND s_suppkey IN (
     SELECT ps_suppkey FROM partsupp
@@ -289,14 +294,14 @@ def b21(spark: SparkSession, sf_dir: str) -> DataFrame:
 B21_SQL = """
 SELECT s_name, COUNT(*) AS numwait
 FROM supplier
-JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN lineitem_x l1 ON s_suppkey = l1.l_suppkey
 JOIN orders ON o_orderkey = l1.l_orderkey
 JOIN nation ON s_nationkey = n_nationkey
 WHERE o_orderstatus = 'F' AND l1.l_receiptdate > l1.l_commitdate
   AND n_name = 'NATION_8'
   AND EXISTS (SELECT 1 FROM lineitem l2
               WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
-  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+  AND NOT EXISTS (SELECT 1 FROM lineitem_x l3
                   WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
                     AND l3.l_receiptdate > l3.l_commitdate)
 GROUP BY 1 ORDER BY numwait DESC, s_name
@@ -324,7 +329,7 @@ def b3(spark: SparkSession, sf_dir: str) -> DataFrame:
 B3_SQL = """
 SELECT l_orderkey, ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS revenue,
        o_orderdate, o_shippriority
-FROM customer JOIN orders ON c_custkey=o_custkey
+FROM customer JOIN orders_x ON c_custkey=o_custkey
 JOIN lineitem ON l_orderkey=o_orderkey
 WHERE c_mktsegment='BUILDING' AND o_orderdate < DATE '1995-03-15'
   AND l_shipdate > DATE '1995-03-15'
@@ -354,7 +359,7 @@ B4_SQL = """
 SELECT o_orderpriority, COUNT(*) AS order_count
 FROM orders
 WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01'
-  AND EXISTS (SELECT 1 FROM lineitem
+  AND EXISTS (SELECT 1 FROM lineitem_x
               WHERE l_orderkey=o_orderkey AND l_commitdate < l_receiptdate)
 GROUP BY 1 ORDER BY 1
 """
@@ -437,7 +442,7 @@ def b10(spark: SparkSession, sf_dir: str) -> DataFrame:
 B10_SQL = """
 SELECT c_custkey, c_name, ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS revenue,
        c_acctbal, n_name, c_address, c_phone, c_comment
-FROM customer JOIN orders ON c_custkey=o_custkey
+FROM customer_x JOIN orders ON c_custkey=o_custkey
 JOIN lineitem ON l_orderkey=o_orderkey
 JOIN nation ON c_nationkey=n_nationkey
 WHERE o_orderdate >= DATE '1995-10-01' AND o_orderdate < DATE '1996-01-01'
@@ -485,7 +490,7 @@ def b19(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 B19_SQL = """
 SELECT ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS revenue
-FROM lineitem JOIN part ON p_partkey=l_partkey
+FROM lineitem_x JOIN part_x ON p_partkey=l_partkey
 WHERE l_shipmode IN ('AIR','AIR REG') AND l_shipinstruct='DELIVER IN PERSON'
   AND ((p_brand='Brand#12' AND p_container IN ('SM CASE','SM BOX','SM PACK','SM PKG')
         AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
@@ -523,9 +528,9 @@ def b22(spark: SparkSession, sf_dir: str) -> DataFrame:
 B22_SQL = f"""
 SELECT substring(c_phone, 1, 2) AS cntrycode, COUNT(*) AS numcust,
        ROUND(SUM(c_acctbal),2) AS totacctbal
-FROM customer
+FROM customer_x
 WHERE substring(c_phone, 1, 2) IN ({", ".join(f"'{c}'" for c in _B22_CODES)})
-  AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+  AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer_x
                    WHERE c_acctbal > 0.00
                      AND substring(c_phone, 1, 2) IN ({", ".join(f"'{c}'" for c in _B22_CODES)}))
   AND NOT EXISTS (SELECT 1 FROM orders
@@ -549,16 +554,19 @@ QUERIES = {
     "b22": b22,
 }
 ORACLES = {
-    "b2": B2_SQL,
-    "b3": B3_SQL,
-    "b4": B4_SQL,
-    "b9": B9_SQL,
-    "b10": B10_SQL,
-    "b11": B11_SQL,
-    "b12": B12_SQL,
-    "b16": B16_SQL,
-    "b19": B19_SQL,
-    "b20": B20_SQL,
-    "b21": B21_SQL,
-    "b22": B22_SQL,
+    name: tierb_sql(sql)
+    for name, sql in {
+        "b2": B2_SQL,
+        "b3": B3_SQL,
+        "b4": B4_SQL,
+        "b9": B9_SQL,
+        "b10": B10_SQL,
+        "b11": B11_SQL,
+        "b12": B12_SQL,
+        "b16": B16_SQL,
+        "b19": B19_SQL,
+        "b20": B20_SQL,
+        "b21": B21_SQL,
+        "b22": B22_SQL,
+    }.items()
 }

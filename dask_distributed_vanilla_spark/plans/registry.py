@@ -18,14 +18,6 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
-def _tier_b_available() -> bool:
-    """Tier B (full TPC-H) activates only when the driver fixtures carry
-    the FIXTURES.md §3 extension tables (SURVEY.md §2.12)."""
-    from pathlib import Path
-
-    return Path("/root/testdata/sf0.01/partsupp.parquet").exists()
-
-
 def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from dask_distributed_vanilla_spark.operators import (
         asof,
@@ -39,9 +31,10 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     )
     from dask_distributed_vanilla_spark.streaming import events_stream
 
-    mods = [tpch, events, asof, dedup, similarity, text, multimodal, events_stream]
-    if _tier_b_available():
-        mods.append(tpch_full)
+    # Tier B is always judged: its extension schema (partsupp + the
+    # dropped columns) is derived inline on both engines from the base
+    # tables (sources/tierb.py), so no extra fixture files are required.
+    mods = [tpch, events, asof, dedup, similarity, text, multimodal, events_stream, tpch_full]
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
     for mod in mods:
