@@ -309,22 +309,44 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bit j of the fingerprint is the sign of Σ_tokens (±1), where the ±1
     is the top bit of hex nibble j of md5(token) — frequency-weighted
     because tokens are NOT deduplicated first. One explode + one groupBy:
-    linear, shuffle key is doc_id.
+    linear, shuffle key is doc_id, partial (map-side) aggregation makes
+    the shuffle 17 longs per doc.
+
+    Hot-path shape: the 16 nibble top-bits are extracted from TWO
+    conv(hex→int) parses per token plus integer shift/mask, not 16
+    substring+string-compare branches — the same values the oracle
+    computes character-wise (top bit of nibble j ⇔ hex char ≥ '8'), at
+    roughly half the per-token cost.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")).select(
         "doc_id", F.md5(F.col("tok")).alias("h")
     )
-    bit_sums = [
-        F.sum(F.when(F.substring("h", j + 1, 1) >= "8", 1).otherwise(-1)).alias(f"s{j}")
-        for j in range(SIMHASH_BITS)
+    # nibbles 0..7 from the first 8 hex chars, 8..15 from the next 8;
+    # each conv result ≤ 2^32-1 so the bigint cast is exact.
+    packed = toks.select(
+        "doc_id",
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+
+    def _bit(j: int):
+        src, p = ("hi", j) if j < 8 else ("lo", j - 8)
+        return F.shiftright(F.col(src), 4 * (7 - p) + 3).bitwiseAND(F.lit(1))
+
+    aggs = [F.sum(_bit(j)).alias(f"s{j}") for j in range(SIMHASH_BITS)] + [
+        F.count(F.lit(1)).alias("cnt")
     ]
+    # sign of Σ±1 > 0  ⇔  2·(count of 1-bits) > token count
     fingerprint = F.concat(
-        *[F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(SIMHASH_BITS)]
+        *[
+            F.when(2 * F.col(f"s{j}") > F.col("cnt"), F.lit("1")).otherwise(F.lit("0"))
+            for j in range(SIMHASH_BITS)
+        ]
     )
     return (
-        toks.groupBy("doc_id")
-        .agg(*bit_sums)
+        packed.groupBy("doc_id")
+        .agg(*aggs)
         .select("doc_id", fingerprint.alias("simhash"))
         .orderBy("doc_id")
     )

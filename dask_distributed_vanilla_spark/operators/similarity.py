@@ -155,44 +155,78 @@ ORDER BY query_id, rank
 """
 
 
-def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+N_BLOCKS = 8  # block grid for the exact all-pairs path
+
+
+def embedding_near_dup(
+    spark: SparkSession, sf_dir: str, n_blocks: int = N_BLOCKS
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.45 — above the
     random-pair band of the fixture distribution).
 
-    Broadcast-matmul shape: the corpus matrix is broadcast once, and the
-    distributed side streams Arrow batches through a vectorized
-    batch×corpusᵀ BLAS product — each task scans its batch of vectors
-    exactly once, no pair-row materialization. This is the exact path
-    while one side fits in executor memory (here: 64-dim floats → ~0.5 KB
-    per vector, so hundreds of millions of vectors per broadcast GB);
-    beyond that the LSH/IVF buckets above take over.
+    Block-partitioned exact all-pairs: vectors are hashed into
+    ``n_blocks`` blocks on vec_id, each unordered block pair (i ≤ j) is
+    cogrouped onto one task, and that task runs a single vectorized
+    block_i × block_jᵀ BLAS product, emitting only the qualifying pairs.
+    Nothing materializes on the driver and no pair-rows exist outside a
+    task: peak memory per task is two blocks (at 64-dim float64 ≈ 512 B
+    per vector ≈ 2M vectors per GB, so block size tunes to the executor
+    heap; on a cluster, n_blocks scales as ceil(n/target_block)). Total
+    work is inherently quadratic — the exact-verification path; beyond
+    that scale the `ann_lsh_topk` / IVF buckets above are the route.
     """
     import numpy as np
+    import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    corpus = emb.toPandas()
-    ids = corpus["vec_id"].to_numpy()
-    mat = np.stack([np.asarray(v, dtype=np.float64) for v in corpus["embedding"]])
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    # Fresh scan for the right side: cogrouping two branches of the SAME
+    # plan shares attribute IDs and Spark then over-prunes the right
+    # group's columns down to the keys.
+    emb_r = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    blk = F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
+    # Replicate each block row-wise across the triangular pair grid: the
+    # cogroup key (i, j) then holds exactly block i on the left and
+    # block j on the right, i ≤ j — every unordered pair once.
+    left = emb.withColumn("i", blk).withColumn(
+        "j", F.explode(F.sequence(F.col("i"), F.lit(n_blocks - 1)))
+    )
+    right = emb_r.withColumn("j", blk).withColumn(
+        "i", F.explode(F.sequence(F.lit(0), F.col("j")))
+    )
 
-    def pairs(batches):
-        import pandas as pd
+    def block_pair(key: tuple, la: pd.DataFrame, rb: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "vec_a": np.array([], dtype=np.int64),
+                "vec_b": np.array([], dtype=np.int64),
+                "cos": np.array([], dtype=np.float64),
+            }
+        )
+        if la.empty or rb.empty:
+            return empty
+        a_ids = la["vec_id"].to_numpy()
+        b_ids = rb["vec_id"].to_numpy()
+        a_mat = np.stack([np.asarray(v, dtype=np.float64) for v in la["embedding"]])
+        b_mat = np.stack([np.asarray(v, dtype=np.float64) for v in rb["embedding"]])
+        a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
+        b_norms = np.sqrt((b_mat * b_mat).sum(axis=1))
+        cos = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
+        hit = cos >= 0.45
+        if key[0] == key[1]:
+            # diagonal block: both orders present, keep the a < b half
+            hit &= a_ids[:, None] < b_ids[None, :]
+        ai, bi = np.nonzero(hit)
+        lo = np.minimum(a_ids[ai], b_ids[bi])
+        hi = np.maximum(a_ids[ai], b_ids[bi])
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cos": cos[ai, bi]})
 
-        c_ids, c_mat, c_norms = bc.value
-        for pdf in batches:
-            a_ids = pdf["vec_id"].to_numpy()
-            a_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
-            cos = (a_mat @ c_mat.T) / np.outer(a_norms, c_norms)
-            ai, ci = np.nonzero((cos >= 0.45) & (a_ids[:, None] < c_ids[None, :]))
-            yield pd.DataFrame(
-                {"vec_a": a_ids[ai], "vec_b": c_ids[ci], "cos": cos[ai, ci]}
-            )
-
+    pairs = (
+        left.groupBy("i", "j")
+        .cogroup(right.groupBy("i", "j"))
+        .applyInPandas(block_pair, "vec_a long, vec_b long, cos double")
+    )
     return (
-        emb.mapInPandas(pairs, "vec_a long, vec_b long, cos double")
-        .select("vec_a", "vec_b", F.round("cos", 2).alias("cosine"))
+        pairs.select("vec_a", "vec_b", F.round("cos", 2).alias("cosine"))
         .orderBy("vec_a", "vec_b")
     )
 
