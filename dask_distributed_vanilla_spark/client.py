@@ -66,12 +66,26 @@ def tokenize(*args: Any, **kwargs: Any) -> str | None:
     call must NOT share a memo slot.
     """
     h = hashlib.md5()
-    for obj in (*args, *(kv for item in sorted(kwargs.items()) for kv in item)):
+
+    def _feed(obj: Any) -> bool:
         b = _token_bytes(obj)
         if b is None:
-            return None
+            return False
+        # length-prefix each token so adjacent tokens can't alias
+        h.update(len(b).to_bytes(8, "little"))
         h.update(b)
-        h.update(b"\x00")
+        return True
+
+    for obj in args:
+        if not _feed(obj):
+            return None
+    # positional/keyword separator: submit(f, 'x', 1) must not collide
+    # with submit(f, x=1)
+    h.update(b"\x01kwargs")
+    for item in sorted(kwargs.items()):
+        for obj in item:
+            if not _feed(obj):
+                return None
     return h.hexdigest()
 
 
@@ -81,6 +95,10 @@ def _resolve(obj: Any) -> Any:
         return obj.result()
     if isinstance(obj, (list, tuple)):
         return type(obj)(_resolve(x) for x in obj)
+    if isinstance(obj, dict):
+        # kwargs (and nested dicts) carry futures too — resolve values,
+        # keep keys (reference materializes kwargs deps the same way)
+        return {k: _resolve(v) for k, v in obj.items()}
     return obj
 
 

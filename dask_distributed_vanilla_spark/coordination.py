@@ -42,11 +42,15 @@ class Lock(_Named):
     """Named mutual exclusion (reference `distributed/lock.py:76-173`)."""
 
     def __init__(self, name: str = "default"):
-        if self._initialized:
-            return
-        self.name = name
-        self._lock = threading.Lock()
-        self._initialized = True
+        # init under the registry lock: two threads constructing the same
+        # name race __init__ on the SHARED instance, so the state must be
+        # assigned exactly once and published before either uses it
+        with _registry_lock:
+            if self._initialized:
+                return
+            self.name = name
+            self._lock = threading.Lock()
+            self._initialized = True
 
     def acquire(self, timeout: float | None = None) -> bool:
         return self._lock.acquire(timeout=timeout if timeout is not None else -1)
@@ -66,11 +70,12 @@ class Semaphore(_Named):
     """Named lease pool (reference `distributed/semaphore.py:272-580`)."""
 
     def __init__(self, name: str = "default", max_leases: int = 1):
-        if self._initialized:
-            return
-        self.name = name
-        self._sem = threading.Semaphore(max_leases)
-        self._initialized = True
+        with _registry_lock:
+            if self._initialized:
+                return
+            self.name = name
+            self._sem = threading.Semaphore(max_leases)
+            self._initialized = True
 
     def acquire(self, timeout: float | None = None) -> bool:
         return self._sem.acquire(timeout=timeout)
@@ -115,11 +120,12 @@ class Event(_Named):
     """set/clear/wait flag (reference `distributed/event.py:153-275`)."""
 
     def __init__(self, name: str = "default"):
-        if self._initialized:
-            return
-        self.name = name
-        self._event = threading.Event()
-        self._initialized = True
+        with _registry_lock:
+            if self._initialized:
+                return
+            self.name = name
+            self._event = threading.Event()
+            self._initialized = True
 
     def set(self) -> None:
         self._event.set()
@@ -139,11 +145,12 @@ class Queue(_Named):
     `distributed/queues.py:130-292`)."""
 
     def __init__(self, name: str = "default", maxsize: int = 0):
-        if self._initialized:
-            return
-        self.name = name
-        self._q: queue.Queue = queue.Queue(maxsize)
-        self._initialized = True
+        with _registry_lock:
+            if self._initialized:
+                return
+            self.name = name
+            self._q: queue.Queue = queue.Queue(maxsize)
+            self._initialized = True
 
     def put(self, value: Any, timeout: float | None = None) -> None:
         self._q.put(value, timeout=timeout)
@@ -160,12 +167,13 @@ class Variable(_Named):
     126-244`): set/get with blocking get until first set."""
 
     def __init__(self, name: str = "default"):
-        if self._initialized:
-            return
-        self.name = name
-        self._value: Any = None
-        self._set = threading.Event()
-        self._initialized = True
+        with _registry_lock:
+            if self._initialized:
+                return
+            self.name = name
+            self._value: Any = None
+            self._set = threading.Event()
+            self._initialized = True
 
     def set(self, value: Any) -> None:
         self._value = value

@@ -51,17 +51,21 @@ def asof_join(
         .orderBy(ts_col, "_side", tiebreak)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = merged.select(
-        "*",
-        *[
-            F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True)
-            .over(w)
-            .alias(f"asof_{c}")
-            for c in value_cols
-        ],
+    # Carry ONE struct of all value_cols, non-null exactly for right
+    # rows: the match is row-atomic, so a right row with a NULL in one
+    # value column can never mix fields from different right rows.
+    carry = (
+        F.last(
+            F.when(F.col("_side") == 0, F.struct(*[F.col(c) for c in value_cols])),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("_asof")
     )
+    carried = merged.select("*", carry)
     return carried.where(F.col("_side") == 1).select(
-        *left.columns, *[f"asof_{c}" for c in value_cols]
+        *left.columns,
+        *[F.col(f"_asof.{c}").alias(f"asof_{c}") for c in value_cols],
     )
 
 
@@ -95,8 +99,9 @@ def e9_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Oracle mirrors the same merge-sorted formulation (IGNORE NULLS window),
-# sidestepping ASOF-JOIN tie ambiguity across engines.
+# Oracle mirrors the same merge-sorted formulation (IGNORE NULLS window
+# over a row-atomic struct), sidestepping ASOF-JOIN tie ambiguity across
+# engines.
 E9_SQL = """
 WITH merged AS (
   SELECT event_id, user_id, ts, 1 AS side,
@@ -107,14 +112,14 @@ WITH merged AS (
   FROM events WHERE event_type = 'purchase'),
 carried AS (
   SELECT *,
-         last_value(p_event_id IGNORE NULLS) OVER
+         last_value(CASE WHEN side = 0
+                         THEN struct_pack(pe := p_event_id, pv := p_value)
+                    END IGNORE NULLS) OVER
            (PARTITION BY user_id ORDER BY ts, side, event_id
-            ROWS UNBOUNDED PRECEDING) AS last_purchase_id,
-         last_value(p_value IGNORE NULLS) OVER
-           (PARTITION BY user_id ORDER BY ts, side, event_id
-            ROWS UNBOUNDED PRECEDING) AS lp_value
+            ROWS UNBOUNDED PRECEDING) AS a
   FROM merged)
-SELECT event_id, user_id, last_purchase_id, ROUND(lp_value, 2) AS last_purchase_value
+SELECT event_id, user_id, a.pe AS last_purchase_id,
+       ROUND(a.pv, 2) AS last_purchase_value
 FROM carried WHERE side = 1
 ORDER BY event_id LIMIT 1000
 """

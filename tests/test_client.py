@@ -60,6 +60,50 @@ def test_futures_as_arguments(client):
     assert b.result() == 12
 
 
+def test_futures_as_keyword_arguments(client):
+    """Futures passed via kwargs are materialized too, matching the
+    reference client's dependency semantics for keyword deps."""
+
+    def f(*, x, items):
+        return x + sum(items)
+
+    a = client.submit(operator.add, 2, 3)
+    b = client.submit(f, x=a, items=[a, 1])
+    assert b.result() == 11
+
+
+def test_tokenize_separates_args_from_kwargs():
+    """submit(f, 'x', 1) and submit(f, x=1) must NOT share a memo key,
+    and adjacent tokens must not alias across the boundary."""
+    from dask_distributed_vanilla_spark.client import tokenize
+
+    assert tokenize(_double, "x", 1) != tokenize(_double, x=1)
+    # length-prefixing: ('ab','c') must differ from ('a','bc')
+    assert tokenize(_double, "ab", "c") != tokenize(_double, "a", "bc")
+
+
+def test_named_lock_concurrent_construction():
+    """Two threads constructing Lock('x') concurrently must end up with
+    the SAME underlying lock object (init races on the shared instance)."""
+    import threading
+
+    name = "race-test-lock"
+    out = []
+    barrier = threading.Barrier(2)
+
+    def build():
+        barrier.wait()
+        out.append(coord.Lock(name))
+
+    ts = [threading.Thread(target=build) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert out[0] is out[1]
+    assert out[0]._lock is out[1]._lock
+
+
 def test_scatter_and_compute(client, spark):
     import pandas as pd
 

@@ -32,3 +32,23 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(mod.queries()) >= set(mod.oracle_sql())
+
+
+def test_asof_join_row_atomic_carry(spark):
+    """A right row with a NULL in one value column must not mix fields
+    from different right rows: the carry is the whole most-recent row."""
+    from dask_distributed_vanilla_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100, 10)], "k int, ts int, lid int")
+    # most recent right row (ts=90) has v2 NULL; the older one (ts=50)
+    # must NOT leak its v2 into the match
+    right = spark.createDataFrame(
+        [(1, 50, 5.0, 7.0), (1, 90, 9.0, None)],
+        "k int, ts int, v1 double, v2 double",
+    )
+    out = asof_join(
+        left, right, by="k", ts_col="ts", tiebreak="lid", value_cols=["v1", "v2"]
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["asof_v1"] == 9.0
+    assert out[0]["asof_v2"] is None
