@@ -24,10 +24,13 @@ driver-side layer:
 
 from __future__ import annotations
 
+import collections
 import concurrent.futures
+import contextlib
 import hashlib
 import pickle
 import threading
+import time
 from collections.abc import Iterable
 from typing import Any
 
@@ -121,6 +124,9 @@ class Client:
         self._pure_cache: dict[str, concurrent.futures.Future] = {}
         self._lock = threading.Lock()
         self._datasets: dict[str, DataFrame] = {}
+        # bounded execution log backing get_task_stream/performance_report
+        self._task_stream: collections.deque[dict[str, Any]] = collections.deque(maxlen=10_000)
+        self._plugins: dict[str, Any] = {}
 
     # -- task parallel ----------------------------------------------------
     def submit(self, fn, *args: Any, pure: bool = True, **kwargs: Any):
@@ -132,7 +138,24 @@ class Client:
                 cached = self._pure_cache.get(key)
                 if cached is not None:
                     return cached
-        fut = self._pool.submit(lambda: fn(*_resolve(args), **_resolve(kwargs)))
+        def _call():
+            rec = {
+                "key": key or f"impure-{id(fn):x}",
+                "function": getattr(fn, "__name__", str(fn)),
+                "start": time.time(),
+            }
+            try:
+                out = fn(*_resolve(args), **_resolve(kwargs))
+                rec["status"] = "OK"
+                return out
+            except BaseException:
+                rec["status"] = "error"
+                raise
+            finally:
+                rec["stop"] = time.time()
+                self._task_stream.append(rec)
+
+        fut = self._pool.submit(_call)
         if key is not None:
             with self._lock:
                 self._pure_cache.setdefault(key, fut)
@@ -282,6 +305,88 @@ class Client:
     def nthreads(self) -> int:
         return self.spark.sparkContext.defaultParallelism
 
+    def _executor_infos(self):
+        """SparkExecutorInfo[] from the JVM status tracker (host, port,
+        cacheSize, numRunningTasks) — the worker-level view the
+        reference's scheduler keeps natively."""
+        return list(self.spark.sparkContext._jsc.sc().statusTracker().getExecutorInfos())
+
+    def rebalance(self, df: DataFrame | None = None) -> DataFrame | None:
+        """Even out data placement (reference `client.py:3064`). Spark's
+        BlockManager owns cached-block placement, so the actionable form
+        is an explicit even repartition of a DataFrame to the cluster's
+        parallelism; with no argument this is a no-op that returns None
+        (placement is already runtime-managed)."""
+        if df is None:
+            return None
+        return df.repartition(self.spark.sparkContext.defaultParallelism)
+
+    def has_what(self) -> dict[str, list[str]]:
+        """worker → names of cached datasets (reference `client.py:3209`).
+        Spark exposes placement at RDD granularity, not per-key; each
+        executor row lists the cached RDD names visible to the cluster."""
+        names = [
+            str(i.name())
+            for i in self.spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        ]
+        return {f"{e.host()}:{e.port()}": names for e in self._executor_infos()}
+
+    def nbytes(self) -> dict[str, int]:
+        """cached dataset → bytes held (reference `client.py:3277`)."""
+        infos = self.spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return {str(i.name()): int(i.memSize()) + int(i.diskSize()) for i in infos}
+
+    def processing(self) -> dict[str, int]:
+        """worker → number of running tasks (reference `client.py:3247`)."""
+        return {
+            f"{e.host()}:{e.port()}": int(e.numRunningTasks())
+            for e in self._executor_infos()
+        }
+
+    def get_task_stream(self) -> list[dict[str, Any]]:
+        """Recent task execution records (reference `client.py:3860`):
+        one dict per completed submit call with key/function/start/stop/
+        status. Spark-side stage detail lives in the status tracker /
+        event log; this stream covers the client's own task layer."""
+        return list(self._task_stream)
+
+    @contextlib.contextmanager
+    def performance_report(self, filename: str = "performance_report.html"):
+        """Capture the tasks run inside the block and write a small HTML
+        report (reference `client.py:4718` writes the bokeh dashboard;
+        here: task table + cluster snapshot, with the full detail in the
+        Spark UI/event log when enabled)."""
+        t0 = time.time()
+        n0 = len(self._task_stream)
+        yield
+        recs = list(self._task_stream)[n0:]
+        rows = "".join(
+            f"<tr><td>{r['key']}</td><td>{r['function']}</td>"
+            f"<td>{r['stop'] - r['start']:.4f}s</td><td>{r['status']}</td></tr>"
+            for r in recs
+        )
+        html = (
+            "<html><body><h1>performance report</h1>"
+            f"<p>wall: {time.time() - t0:.3f}s, tasks: {len(recs)}, "
+            f"parallelism: {self.nthreads()}</p>"
+            "<table><tr><th>key</th><th>function</th><th>duration</th>"
+            f"<th>status</th></tr>{rows}</table></body></html>"
+        )
+        with open(filename, "w") as f:
+            f.write(html)
+
+    def register_worker_plugin(self, plugin: Any, name: str | None = None) -> list:
+        """Run ``plugin.setup()`` once per executor core slot (reference
+        `client.py:4037` runs setup on every worker). The plugin must be
+        picklable; per-slot return values come back to the driver."""
+        self._plugins[name or type(plugin).__name__] = plugin
+        setup = getattr(plugin, "setup", None)
+        if setup is None:
+            return []
+        sc = self.spark.sparkContext
+        n = sc.defaultParallelism
+        return sc.parallelize(range(n), n).map(lambda _: setup(None)).collect()
+
     def restart(self) -> None:
         """Drop all cached state (reference `client.py:2997` clears cluster
         state; Spark keeps executors, we clear caches + memo table)."""
@@ -303,6 +408,26 @@ def wait(futures, timeout: float | None = None):
 def as_completed(futures):
     """Yield futures as they finish (reference `client.py:4278`)."""
     return concurrent.futures.as_completed(list(futures))
+
+
+def futures_of(obj: Any) -> list[concurrent.futures.Future]:
+    """All unique futures inside a (possibly nested) collection, in
+    first-seen order (reference `client.py:4558`)."""
+    out: list[concurrent.futures.Future] = []
+
+    def walk(o: Any) -> None:
+        if isinstance(o, concurrent.futures.Future):
+            if not any(o is f for f in out):
+                out.append(o)
+        elif isinstance(o, (list, tuple, set)):
+            for x in o:
+                walk(x)
+        elif isinstance(o, dict):
+            for v in o.values():
+                walk(v)
+
+    walk(obj)
+    return out
 
 
 def fire_and_forget(future) -> None:

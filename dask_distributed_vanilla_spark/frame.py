@@ -214,12 +214,65 @@ class GroupBy:
         return method
 
 
+class _LocIndexer:
+    """Label-range slicing on the declared index column (reference
+    `distributed/tests/test_collections.py:143-160`): `.loc[a:b]` is the
+    inclusive label slice; after ``set_index`` the frame is
+    range-partitioned on the index so the predicate prunes partitions
+    instead of scanning all of them."""
+
+    def __init__(self, frame: Frame):
+        self._f = frame
+
+    def __getitem__(self, key):
+        f = self._f
+        if f._index is None:
+            raise TypeError(".loc needs an index — call set_index(col) first")
+        c = F.col(f._index)
+        if isinstance(key, slice):
+            if key.step is not None:
+                raise ValueError(".loc label slices take no step")
+            df = f.df
+            if key.start is not None and key.stop is not None:
+                df = df.where(c.between(key.start, key.stop))
+            elif key.start is not None:
+                df = df.where(c >= key.start)
+            elif key.stop is not None:
+                df = df.where(c <= key.stop)
+            return f._with_index(df)
+        return f._with_index(f.df.where(c == key))
+
+
 class Frame:
     """The dask.dataframe-shaped wrapper. `.df` exposes the underlying
     Spark DataFrame at any point — the facade is sugar, not a wall."""
 
     def __init__(self, df: DataFrame):
         self.df = df
+        self._index: str | None = None
+
+    def _with_index(self, df: DataFrame) -> Frame:
+        out = Frame(df)
+        out._index = self._index
+        return out
+
+    def set_index(self, col: str, npartitions: int | None = None) -> Frame:
+        """The reference's ``set_index(col, shuffle="tasks")`` idiom
+        (`test_collections.py:117-131`): one range shuffle on the column
+        plus an in-partition sort. Rows end up globally ordered across
+        partitions with co-located key ranges — the layout `.loc` range
+        slices and merge joins on the index exploit. At scale this is the
+        sorted-table materialization step, so persist() after it if it
+        will be sliced repeatedly."""
+        df = self.df
+        part = df.repartitionByRange(npartitions, F.col(col)) if npartitions else df.repartitionByRange(F.col(col))
+        out = Frame(part.sortWithinPartitions(col))
+        out._index = col
+        return out
+
+    @property
+    def loc(self) -> _LocIndexer:
+        return _LocIndexer(self)
 
     # -- projection / assignment -----------------------------------------
     def __getitem__(self, key):

@@ -55,3 +55,58 @@ def test_upload_file(client, tmp_path):
         lambda: __import__("uploaded_helper").VALUE + 1, on_executors=True
     )
     assert set(got) == {42}
+
+
+class _CounterPlugin:
+    """Picklable worker plugin: setup returns a marker per slot."""
+
+    def setup(self, worker):
+        return "ready"
+
+
+def test_introspection_tail(client, spark, tmp_path):
+    """rebalance/has_what/nbytes/processing mirror reference
+    client.py:3064-3277 at Spark granularity."""
+    assert client.rebalance() is None
+    df = spark.range(100)
+    rb = client.rebalance(df)
+    assert rb.rdd.getNumPartitions() == client.nthreads()
+
+    cached = spark.range(50).persist()
+    cached.count()
+    try:
+        nb = client.nbytes()
+        assert all(isinstance(v, int) for v in nb.values())
+        hw = client.has_what()
+        assert len(hw) >= 1  # at least the driver-executor in local mode
+        pr = client.processing()
+        assert all(v >= 0 for v in pr.values())
+    finally:
+        cached.unpersist()
+
+
+def test_futures_of_and_task_stream(client):
+    from dask_distributed_vanilla_spark.client import futures_of
+
+    a = client.submit(lambda: 1, pure=False)
+    b = client.submit(lambda: 2, pure=False)
+    found = futures_of({"x": a, "y": [b, a], "z": 3})
+    assert found == [a, b]
+    a.result(), b.result()
+    stream = client.get_task_stream()
+    assert len(stream) >= 2
+    assert {"key", "function", "start", "stop", "status"} <= set(stream[-1])
+
+
+def test_performance_report(client, tmp_path):
+    out = tmp_path / "report.html"
+    with client.performance_report(str(out)):
+        client.submit(lambda: 42, pure=False).result()
+    html = out.read_text()
+    assert "performance report" in html and "OK" in html
+
+
+def test_register_worker_plugin(client):
+    got = client.register_worker_plugin(_CounterPlugin())
+    assert got == ["ready"] * client.nthreads()
+    assert "_CounterPlugin" in client._plugins

@@ -128,3 +128,51 @@ def test_timeseries_source(spark):
     assert len(pdf) == 60
     assert set(pdf.columns) == {"timestamp", "id", "name", "x", "y"}
     assert pdf["x"].between(-1, 1).all()
+
+
+def test_set_index_loc_matches_pandas(spark):
+    """set_index + .loc label slice vs pandas (reference
+    test_collections.py:117-160 idioms)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({"k": [9, 3, 7, 1, 5, 3], "v": list("abcdef")})
+    fr_ = fr.Frame(spark.createDataFrame(pdf)).set_index("k")
+    got = fr_.loc[3:7].compute().sort_values(["k", "v"]).reset_index(drop=True)
+    exp = (
+        pdf.set_index("k").sort_index().loc[3:7].reset_index()
+        .sort_values(["k", "v"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    # scalar label and open-ended slices
+    assert sorted(r["v"] for r in fr_.loc[3].df.collect()) == ["b", "f"]
+    assert {r["k"] for r in fr_.loc[7:].df.collect()} == {7, 9}
+    # the range shuffle actually landed: keys are globally ordered
+    # across partitions after set_index
+    ks = [r["k"] for r in fr_.df.collect()]
+    assert ks == sorted(ks)
+
+
+def test_set_index_requires_index_for_loc(spark):
+    import pytest as _pytest
+
+    fr_ = fr.Frame(spark.range(3))
+    with _pytest.raises(TypeError):
+        fr_.loc[1:2]
+
+
+def test_bag_analog(spark):
+    """dask.bag → RDD mapping (reference test_collections.py:109-113:
+    map, count, per-key fold)."""
+    from dask_distributed_vanilla_spark.bag import Bag
+
+    b = Bag.from_sequence(spark, range(100), npartitions=8).map(lambda x: x * 2)
+    assert b.count() == 100
+    odd_even = dict(
+        b.foldby(lambda x: x % 4, lambda acc, x: acc + x, 0).compute()
+    )
+    assert odd_even == {0: sum(x * 2 for x in range(0, 100, 2)),
+                        2: sum(x * 2 for x in range(1, 100, 2))}
+    freqs = dict(Bag.from_sequence(spark, list("aabbbc")).frequencies().compute())
+    assert freqs == {"a": 2, "b": 3, "c": 1}
+    df = b.map(lambda x: (x,)).to_dataframe(spark, "x long")
+    assert df.agg({"x": "sum"}).collect()[0][0] == sum(range(0, 200, 2))
