@@ -46,6 +46,17 @@ def main() -> None:
         timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
+
+    # auxiliary (non-suite) metrics: planted-hot-key skew proof and the
+    # array workloads — skippable via SPARK_GRAFT_BENCH_AUX=0
+    aux: dict = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_AUX", "1") != "0":
+        from dask_distributed_vanilla_spark.functions.skew import skew_bench
+        from tools.bench_linalg import linalg_workloads
+
+        aux["skew"] = skew_bench(spark, n_rows=3_000_000)
+        aux["linalg"] = linalg_workloads(spark, "small")
+
     print(
         json.dumps(
             {
@@ -53,6 +64,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "aux": aux,
                 "sf": sf,
                 "n_queries": len(timings),
                 "reps": reps,

@@ -116,14 +116,19 @@ def svd_compressed(
         lambda r1, r2: np.linalg.qr(np.vstack([r1, r2]), mode="r")
     )
     r_inv = np.linalg.pinv(r)
-    # B = Qt A = (Y R^-1)^T A  -> accumulate per block-col, p x n_cols (small)
-    y_map = dict(y_rows.map(lambda kv: (kv[0], kv[1] @ r_inv)).collect())
-
-    def bt_block(kv: Block):
-        (bi, bj), block = kv
-        return bj, y_map[bi].T @ block
-
-    b_cols = blocks.map(bt_block).reduceByKey(lambda x, y: x + y).collect()
+    # B = QᵀA with Q = Y R⁻¹: join A's blocks with their Q block-row on
+    # the block-row key, form the partial Q_biᵀ·A_(bi,bj) products on
+    # executors, reduce per block-col. No Y/Q factor ever materializes on
+    # the driver — only B itself (p × n_cols, driver-sized by design)
+    # comes back.
+    q_rows = y_rows.mapValues(lambda y: y @ r_inv)  # bi -> Q block-row
+    a_by_row = blocks.map(lambda kv: (kv[0][0], (kv[0][1], kv[1])))
+    b_cols = (
+        a_by_row.join(q_rows)
+        .map(lambda kv: (kv[1][0][0], kv[1][1].T @ kv[1][0][1]))
+        .reduceByKey(lambda x, y: x + y)
+        .collect()
+    )
     b = np.hstack([blk for _, blk in sorted(b_cols)])
     _, s, vt = np.linalg.svd(b, full_matrices=False)
     return s[:k], vt[:k]

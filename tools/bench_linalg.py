@@ -29,15 +29,11 @@ SIZES = {
 }
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--scale", default="small", choices=list(SIZES))
-    args = ap.parse_args()
-    (mm_n, mm_chunk), (ts_rows, ts_cols, ts_parts), (sq_n, sq_chunk, sq_k) = SIZES[args.scale]
-
-    spark = get_spark("bench-linalg")
-    spark.sparkContext.setLogLevel("ERROR")
-    results = {}
+def linalg_workloads(spark, scale: str = "small") -> dict:
+    """Run the three array workloads at the given scale; returns the
+    per-workload config + seconds dict (also embedded in bench.py's aux)."""
+    (mm_n, mm_chunk), (ts_rows, ts_cols, ts_parts), (sq_n, sq_chunk, sq_k) = SIZES[scale]
+    results: dict = {}
 
     t0 = time.perf_counter()
     a = linalg.random_block_matrix(spark, mm_n, mm_n, mm_chunk, seed=1)
@@ -71,7 +67,16 @@ def main() -> None:
         "sec": round(time.perf_counter() - t0, 3),
         "s_max": round(float(s[0]), 2),
     }
+    return results
 
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", default="small", choices=list(SIZES))
+    args = ap.parse_args()
+    spark = get_spark("bench-linalg")
+    spark.sparkContext.setLogLevel("ERROR")
+    results = linalg_workloads(spark, args.scale)
     print(json.dumps({"metric": "linalg", "scale": args.scale, "workloads": results}))
 
 
