@@ -134,6 +134,50 @@ def svd_compressed(
     return s[:k], vt[:k]
 
 
+class COO:
+    """Minimal coordinate-format sparse block (the `sparse.COO` shape the
+    reference converts chunks into, `distributed/tests/test_collections.py:
+    191-200`) — dependency-free since neither `sparse` nor scipy ships in
+    this container. Stores (coords, data, shape); dense↔sparse round-trip
+    plus the reductions/elementwise ops the benchmark exercises."""
+
+    def __init__(self, coords: np.ndarray, data: np.ndarray, shape: tuple[int, int]):
+        self.coords = coords  # (2, nnz) int array
+        self.data = data  # (nnz,) values
+        self.shape = shape
+
+    @classmethod
+    def from_dense(cls, block: np.ndarray, keep_threshold: float = 0.0) -> COO:
+        mask = np.abs(block) > keep_threshold
+        coords = np.vstack(np.nonzero(mask))
+        return cls(coords, block[mask], block.shape)
+
+    def todense(self) -> np.ndarray:
+        out = np.zeros(self.shape, dtype=self.data.dtype)
+        out[self.coords[0], self.coords[1]] = self.data
+        return out
+
+    @property
+    def nnz(self) -> int:
+        return int(self.data.size)
+
+    def sum(self) -> float:
+        return float(self.data.sum())
+
+    def multiply(self, scalar: float) -> COO:
+        return COO(self.coords, self.data * scalar, self.shape)
+
+
+def map_blocks(blocks: RDD, fn) -> RDD:
+    """dask's `map_blocks` over a ((bi, bj), block) RDD: apply ``fn`` to
+    every block, keep coordinates. The reference's sparse workflow is
+    `map_blocks(sparse.COO)` then reductions — here
+    `map_blocks(rdd, COO.from_dense)` sparsifies each chunk on its
+    executor (the dense block never moves), after which per-block
+    reductions shuffle only scalars."""
+    return blocks.mapValues(fn)
+
+
 def kmeans_fit(df: DataFrame, k: int = 3, seed: int = 42, vec_col: str = "embedding"):
     """KMeans over an array column (reference `benchmark/kmeans.py:22-28`,
     dask_ml KMeans ≈ pyspark.ml scalable k-means||, same oversampling

@@ -261,7 +261,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_lsh_sql() -> str:
+def _minhash_cte_chain() -> str:
+    """The shared CTE chain ending in verified LSH near-dup pairs —
+    reused by the pair oracle and the connected-components oracle."""
     rows_per_band = MINHASH_K // LSH_BANDS
     mh = ", ".join(
         f"MIN(substring(h, {k + 1}, {32 - k}) || substring(h, 1, {k})) AS mh{k}"
@@ -273,8 +275,7 @@ def _minhash_lsh_sql() -> str:
         "FROM sig"
         for b in range(LSH_BANDS)
     )
-    return f"""
-WITH sh AS ({_SHINGLE_SQL}),
+    return f"""sh AS ({_SHINGLE_SQL}),
 hs AS (SELECT doc_id, md5(sh) AS h FROM sh),
 sig AS (SELECT doc_id, {mh} FROM hs GROUP BY doc_id),
 bands AS ({band_rows}),
@@ -288,13 +289,21 @@ common AS (
   FROM cand
   JOIN sh a ON a.doc_id = doc_a
   JOIN sh b ON b.doc_id = doc_b AND b.sh = a.sh
-  GROUP BY 1, 2)
-SELECT doc_a, doc_b,
-       {_JAC2} AS jaccard
-FROM common
-JOIN cnt ca ON doc_a = ca.doc_id
-JOIN cnt cb ON doc_b = cb.doc_id
-WHERE n_common * 1.0 / (ca.n + cb.n - n_common) >= {JACCARD_THRESHOLD}
+  GROUP BY 1, 2),
+lsh_pairs AS (
+  SELECT doc_a, doc_b, n_common, ca.n AS n_a, cb.n AS n_b
+  FROM common
+  JOIN cnt ca ON doc_a = ca.doc_id
+  JOIN cnt cb ON doc_b = cb.doc_id
+  WHERE n_common * 1.0 / (ca.n + cb.n - n_common) >= {JACCARD_THRESHOLD})"""
+
+
+def _minhash_lsh_sql() -> str:
+    jac2 = _JAC2.replace("ca.n", "n_a").replace("cb.n", "n_b")
+    return f"""
+WITH {_minhash_cte_chain()}
+SELECT doc_a, doc_b, {jac2} AS jaccard
+FROM lsh_pairs
 ORDER BY doc_a, doc_b
 """
 
@@ -401,11 +410,87 @@ def ml_minhash_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -
     )
 
 
+# --- duplicate-cluster assignment (connected components) ------------------
+def dedup_cc(spark: SparkSession, sf_dir: str, max_iter: int = 10) -> DataFrame:
+    """Duplicate clusters: connected components over the verified LSH
+    near-dup pair graph, every document labeled with the minimum doc_id
+    reachable through near-duplicate links (singletons label themselves).
+    This is the step that turns pairwise dedup output into the
+    keep-one-per-cluster decision a curation pipeline needs.
+
+    Iterative min-label propagation (the GraphX-connected-components
+    shape): each round is one shuffle keyed by node that lowers every
+    node's label to the min of its neighborhood, until a fixpoint. Rounds
+    needed = graph diameter; near-dup clusters are tiny and dense, so it
+    converges in 2-3 rounds. Per-round localCheckpoint truncates the plan
+    lineage — without it the iteration re-derives the whole LSH pipeline
+    every round. At 100 TB the same loop runs with the label table
+    hash-partitioned by node; large-star/small-star is the refinement if
+    components with million-node diameters ever appear (they don't in
+    near-dup graphs).
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    edges = pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst")
+    labels = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("node"), F.col("doc_id").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.min("label").alias("nlabel"))
+            .withColumnRenamed("dst", "node")
+        )
+        new_labels = (
+            labels.join(prop, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "node")
+            .where(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+def _cc_sql() -> str:
+    """Recursive-CTE oracle: enumerate every (node, reachable label) over
+    the undirected near-dup edges, take the min per node."""
+    return f"""
+WITH RECURSIVE {_minhash_cte_chain()},
+edges AS (SELECT doc_a AS a, doc_b AS b FROM lsh_pairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM lsh_pairs),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+)
+SELECT node AS doc_id, MIN(label) AS cluster_id
+FROM reach GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_cc": dedup_cc,
 }
 
 ORACLES = {
@@ -413,4 +498,5 @@ ORACLES = {
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_minhash_lsh": _minhash_lsh_sql(),
     "dedup_simhash": _simhash_sql(),
+    "dedup_cc": _cc_sql(),
 }

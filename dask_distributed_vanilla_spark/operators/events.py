@@ -175,10 +175,18 @@ def e7_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersect/except are native here): distinct user populations of the
     click vs purchase event streams."""
     ev = load_table(spark, sf_dir, "events")
-    types = ev.select("event_type").distinct().orderBy("event_type").limit(2)
-    t1, t2 = [r.event_type for r in types.collect()]
-    u1 = ev.where(F.col("event_type") == t1).select("user_id").distinct()
-    u2 = ev.where(F.col("event_type") == t2).select("user_id").distinct()
+    # rank the (tiny) distinct type set inside the plan — no separate
+    # job/collect; the single-partition window is over ≤ a handful of
+    # rows and the ranked dim broadcasts back onto the fact scan
+    types2 = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("_rk", F.row_number().over(Window.orderBy("event_type")))
+        .where(F.col("_rk") <= 2)
+    )
+    tagged = ev.join(F.broadcast(types2), "event_type")
+    u1 = tagged.where(F.col("_rk") == 1).select("user_id").distinct()
+    u2 = tagged.where(F.col("_rk") == 2).select("user_id").distinct()
     n_both = u1.intersect(u2).agg(F.count(F.lit(1)).alias("n_both"))
     n_only_first = u1.exceptAll(u2).agg(F.count(F.lit(1)).alias("n_only_first"))
     n_union = u1.union(u2).distinct().agg(F.count(F.lit(1)).alias("n_union"))

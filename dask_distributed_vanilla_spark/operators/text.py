@@ -193,12 +193,100 @@ FROM documents ORDER BY doc_id
 """
 
 
+def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-50 bigram counts — the vocabulary/n-gram
+    statistics pass of tokenizer training. One explode + one groupBy:
+    the shuffle carries (bigram, partial count) after map-side combine,
+    so corpus size only affects the scan, not the shuffle."""
+    t = _with_words(load_table(spark, sf_dir, "documents"))
+    big = t.select(F.explode(shingles_from_words(F.col("w"), 2)).alias("bigram"))
+    return (
+        big.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "bigram")
+        .limit(50)
+    )
+
+
+TEXT_BIGRAMS_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+big AS (
+  SELECT w[i] || ' ' || w[i+1] AS bigram
+  FROM t, UNNEST(generate_series(1, len(w) - 1)) AS u(i)
+  WHERE len(w) >= 2)
+SELECT bigram, COUNT(*) AS n_occurrences
+FROM big GROUP BY 1
+ORDER BY n_occurrences DESC, bigram LIMIT 50
+"""
+
+
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (whitespace tokens, natural-log
+    IDF) — the distinctive-term extraction pass of corpus curation.
+
+    All-aggregate shape: tf is a (doc, term) groupBy, df a term groupBy
+    over distinct (doc, term), the doc count broadcasts as a 1-row cross
+    join, and the per-doc top-3 is a window rank on the rounded score —
+    rounding BEFORE ranking keeps the order cross-engine deterministic
+    (raw ln() differs in the last ulp between engines; see BENCH notes).
+    """
+    from pyspark.sql import Window
+
+    t = _with_words(load_table(spark, sf_dir, "documents"))
+    tok = t.select("doc_id", F.explode("w").alias("term"))
+    ntok = t.select("doc_id", F.size("w").alias("n_tok"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n"))
+    df = tok.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = t.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(ntok, "doc_id")
+        .join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            round2(
+                F.col("n") / F.col("n_tok") * F.log(F.col("n_docs") / F.col("df"))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tfidf")
+        .orderBy("doc_id", "rank")
+    )
+
+
+TEXT_TFIDF_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tok AS (SELECT doc_id, UNNEST(w) AS term FROM t),
+ntok AS (SELECT doc_id, len(w) AS n_tok FROM t),
+tf AS (SELECT doc_id, term, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         {round2_sql("tf.n * 1.0 / ntok.n_tok * ln(nd.n_docs * 1.0 / df.df)")} AS tfidf
+  FROM tf JOIN ntok USING (doc_id) JOIN df USING (term) CROSS JOIN nd),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rank
+  FROM scored)
+SELECT doc_id, CAST(rank AS INT) AS rank, term, tfidf
+FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "text_token_regex": text_token_regex,
+    "text_bigrams": text_bigrams,
+    "text_tfidf": text_tfidf,
 }
 
 ORACLES = {
@@ -207,4 +295,6 @@ ORACLES = {
     "text_langid": _langid_sql(),
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_token_regex": TEXT_TOKEN_REGEX_SQL,
+    "text_bigrams": TEXT_BIGRAMS_SQL,
+    "text_tfidf": TEXT_TFIDF_SQL,
 }

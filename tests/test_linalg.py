@@ -69,3 +69,26 @@ def test_parallel_post_fit_predict(spark):
     assert len(rows) == emb.count()
     assert set(out.columns) == {"vec_id", "prediction"}
     assert all(r.prediction in (0.0, 1.0) for r in rows)
+
+
+def test_sparse_map_blocks(spark):
+    """map_blocks(COO) parity with the reference's sparse chunk workflow
+    (test_collections.py:191-200): sparsify per block, reduce, round-trip."""
+    import numpy as np
+
+    from dask_distributed_vanilla_spark.linalg import COO, map_blocks, random_block_matrix
+
+    blocks = random_block_matrix(spark, 512, 512, 128, seed=7)
+    # threshold to make it genuinely sparse, then sum via scalar shuffle
+    sparse_blocks = map_blocks(blocks, lambda b: COO.from_dense(b * (b > 0.9)))
+    total = sparse_blocks.map(lambda kv: kv[1].sum()).sum()
+    dense_total = blocks.map(lambda kv: float((kv[1] * (kv[1] > 0.9)).sum())).sum()
+    assert abs(total - dense_total) < 1e-6
+    # round-trip one block exactly
+    (coord, coo) = sparse_blocks.first()
+    dense = dict(blocks.collect())[coord]
+    np.testing.assert_allclose(coo.todense(), dense * (dense > 0.9))
+    assert 0 < coo.nnz < dense.size
+    # elementwise scalar op stays sparse
+    doubled = map_blocks(sparse_blocks, lambda c: c.multiply(2.0))
+    assert abs(doubled.map(lambda kv: kv[1].sum()).sum() - 2 * total) < 1e-6
