@@ -255,6 +255,43 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def e11_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (SURVEY.md §2.8 json functions): the
+    `props` column is a JSON string; `get_json_object` parses it
+    JVM-side (no Python), extracted values feed a normal aggregate.
+    At scale the alternative is `from_json` with an explicit schema,
+    which vectorizes the parse once per row for many fields."""
+    from dask_distributed_vanilla_spark.functions.rounding import round2
+
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            round2(F.avg("k")).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# integer AVG ratios land on the .xx5 grid → portable half-up rounding
+# (see functions/rounding.py); SUM(INTEGER) is HUGEINT in DuckDB → BIGINT
+E11_SQL = """
+SELECT event_type,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k, MAX(k) AS max_k,
+       FLOOR(AVG(k) * 100 + 0.5) / 100 AS avg_k
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      FROM events)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "e1": e1,
     "e2": e2,
@@ -265,6 +302,7 @@ QUERIES = {
     "e7_setops": e7_setops,
     "e8_rollup": e8_rollup,
     "e10_percentiles": e10_percentiles,
+    "e11_json": e11_json,
 }
 ORACLES = {
     "e1": E1_SQL,
@@ -276,4 +314,5 @@ ORACLES = {
     "e7_setops": E7_SQL,
     "e8_rollup": E8_SQL,
     "e10_percentiles": E10_SQL,
+    "e11_json": E11_SQL,
 }

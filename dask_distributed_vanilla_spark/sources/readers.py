@@ -95,6 +95,17 @@ def from_pandas(spark: SparkSession, pdf) -> DataFrame:
     return spark.createDataFrame(pdf)
 
 
+def read_json(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """JSON-lines source (the dd.read_json analog). Pass an explicit
+    schema at scale — schema inference reads the data twice and a typo'd
+    field silently becomes null with inference, but errors with a
+    declared schema."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
 def timeseries(
     spark: SparkSession,
     start: str,

@@ -75,5 +75,85 @@ SELECT event_type, date_trunc('hour', ts) AS w,
 FROM events GROUP BY 1,2 ORDER BY 1,2
 """
 
-QUERIES = {"stream_e1": stream_e1}
-ORACLES = {"stream_e1": STREAM_E1_SQL}
+
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged query: 2-hour windows sliding every hour (hopping window) —
+    each event lands in exactly two windows; watermark bounds state. The
+    oracle replicates the hop by exploding each event into its two
+    covering window starts (date_trunc and date_trunc − 1h)."""
+    sink = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+    q = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy("event_type", F.window("ts", "2 hours", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+        .select("event_type", F.col("win.start").alias("w"), "n", "sv")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).orderBy("event_type", "w")
+
+
+STREAM_SLIDING_SQL = """
+WITH hop AS (
+  SELECT event_type, value,
+         UNNEST([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS w
+  FROM events)
+SELECT event_type, w, COUNT(*) AS n, ROUND(SUM(value),2) AS sv
+FROM hop GROUP BY 1,2 ORDER BY 1,2
+"""
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged query: streaming exact dedup — dropDuplicates on event_id
+    within the watermark (the at-least-once-source dedup every ingest
+    pipeline needs), then per-type counts of the deduped stream read back
+    from the sink. State holds only ids inside the watermark horizon."""
+    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "event_type", "value")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_unique"),
+            F.round(F.sum("value"), 2).alias("sv"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# event_id is unique in the fixture, so the dedup is an identity the
+# oracle states directly (the operator's value is the streaming shape:
+# bounded dedup state + append mode).
+STREAM_DEDUP_SQL = """
+SELECT event_type, COUNT(*) AS n_unique, ROUND(SUM(value),2) AS sv
+FROM (SELECT DISTINCT ON (event_id) event_id, event_type, value FROM events
+      ORDER BY event_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES = {
+    "stream_e1": stream_e1,
+    "stream_sliding": stream_sliding,
+    "stream_dedup": stream_dedup,
+}
+ORACLES = {
+    "stream_e1": STREAM_E1_SQL,
+    "stream_sliding": STREAM_SLIDING_SQL,
+    "stream_dedup": STREAM_DEDUP_SQL,
+}

@@ -176,3 +176,16 @@ def test_bag_analog(spark):
     assert freqs == {"a": 2, "b": 3, "c": 1}
     df = b.map(lambda x: (x,)).to_dataframe(spark, "x long")
     assert df.agg({"x": "sum"}).collect()[0][0] == sum(range(0, 200, 2))
+
+
+def test_read_json_roundtrip(spark, tmp_path):
+    """JSON-lines source: write → read with declared schema → identical."""
+    df = spark.range(100).selectExpr("id", "concat('u', id % 7) AS name", "CAST(id * 1.5 AS DOUBLE) AS score")
+    path = str(tmp_path / "j")
+    df.write.json(path)
+    back = readers.read_json(spark, path, "id long, name string, score double")
+    assert back.count() == 100
+    assert sorted(back.columns) == ["id", "name", "score"]
+    got = {r["id"]: (r["name"], r["score"]) for r in back.collect()}
+    exp = {r["id"]: (r["name"], r["score"]) for r in df.collect()}
+    assert got == exp
