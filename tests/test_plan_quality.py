@@ -73,3 +73,48 @@ def test_whole_stage_codegen_active(spark):
     df = tpch.a1(spark, SF_SMOKE)
     codegen = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "codegen")
     assert "WholeStageCodegen" in codegen
+
+
+def test_b12_derived_lineitem_prunes_columns(spark):
+    """Tier B derives extension columns inline; Catalyst must still prune
+    the base scan to the columns the derivations + query touch."""
+    from dask_distributed_vanilla_spark.operators import tpch_full
+
+    schemas = read_schemas(tpch_full.b12(spark, SF_SMOKE))
+    # l_shipmode derives from (l_orderkey, l_linenumber); dates from
+    # l_shipdate — money columns must NOT reach the scan
+    assert "l_extendedprice" not in schemas
+    assert "l_tax" not in schemas
+    assert "l_quantity" not in schemas
+
+
+def test_b2_partsupp_derivation_is_broadcast_shaped(spark):
+    """The partsupp derivation (part x 4 with a 1-row supplier count)
+    must not introduce a shuffle of its own: the count and the 4-row
+    range both broadcast."""
+    from dask_distributed_vanilla_spark.operators import tpch_full
+
+    plan = formatted_plan(tpch_full.b2(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan  # both cross joins broadcast
+
+
+def test_tfidf_single_token_explode(spark):
+    """text_tfidf reads documents and explodes tokens; the doc scan must
+    prune to (doc_id, text) only."""
+    from dask_distributed_vanilla_spark.operators import text
+
+    schemas = read_schemas(text.text_tfidf(spark, SF_SMOKE))
+    assert "lang" not in schemas and "source" not in schemas
+
+
+def test_multimodal_frames_no_payload_fanout(spark):
+    """The frame explode must run on decoded metadata, never multiplying
+    payload bytes: no binary column below the Generate node."""
+    from dask_distributed_vanilla_spark.operators import multimodal
+
+    plan = formatted_plan(multimodal.multimodal_frames(spark, SF_SMOKE))
+    gen_pos = plan.find("Generate")
+    assert gen_pos != -1
+    # the explode consumes the pandas-UDF *output* (metadata), which has
+    # no payload column at all
+    assert "payload#" not in plan[gen_pos : gen_pos + 400]
