@@ -124,5 +124,82 @@ FROM carried WHERE side = 1
 ORDER BY event_id LIMIT 1000
 """
 
-QUERIES = {"e9_asof": e9_asof}
-ORACLES = {"e9_asof": E9_SQL}
+def within_join(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    id_col: str,
+    window_seconds: int,
+) -> DataFrame:
+    """Temporal proximity self-join: pairs of rows sharing ``keys`` whose
+    timestamps differ by ≤ ``window_seconds`` (id_a < id_b each pair
+    once). The second temporal-join shape beside as-of (SURVEY.md §2.3
+    "theta/range — absent" in the reference).
+
+    Banded, not theta: each left row explodes into its microsecond
+    bucket ±1 (bucket width = the window), the join is an EQUI-join on
+    (keys, bucket), and the exact |Δt| predicate filters the candidates.
+    A pair within the window differs by ≤1 bucket, so the ±1 explosion
+    finds every pair exactly once and the quadratic theta join never
+    materializes — at 100 TB the shuffle key (keys, bucket) spreads time
+    uniformly no matter how skewed ``keys`` is.
+    """
+    w_us = window_seconds * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+    bucket = F.expr(f"unix_micros({ts_col}) div {w_us}")
+    a = df.select(
+        *keys,
+        F.col(id_col).alias("id_a"),
+        us.alias("us_a"),
+        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("_bk"),
+    )
+    b = df.select(
+        *[F.col(k).alias(k) for k in keys],
+        F.col(id_col).alias("id_b"),
+        us.alias("us_b"),
+        bucket.alias("_bk"),
+    )
+    return (
+        a.join(b, [*keys, "_bk"])
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("us_a") - F.col("us_b")) <= w_us)
+        )
+        .select(
+            *keys,
+            "id_a",
+            "id_b",
+            (F.abs(F.col("us_a") - F.col("us_b")) / F.lit(1000)).cast("long").alias("delta_ms"),
+        )
+    )
+
+
+def e12_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-simultaneous same-type events (≤60s apart) — the telemetry
+    duplicate-burst detection shape, judged against a theta-join oracle
+    (DuckDB can afford the quadratic form at oracle scale; the Spark plan
+    is the banded equi-join that survives 100 TB)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    return within_join(
+        ev, keys=["event_type"], ts_col="ts", id_col="event_id", window_seconds=60
+    ).select(
+        "event_type",
+        F.col("id_a").alias("event_a"),
+        F.col("id_b").alias("event_b"),
+        "delta_ms",
+    ).orderBy("event_type", "event_a", "event_b")
+
+
+E12_SQL = """
+SELECT a.event_type,
+       LEAST(a.event_id, b.event_id) AS event_a,
+       GREATEST(a.event_id, b.event_id) AS event_b,
+       abs(epoch_us(b.ts) - epoch_us(a.ts)) // 1000 AS delta_ms
+FROM events a JOIN events b
+  ON a.event_type = b.event_type AND a.event_id < b.event_id
+ AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 60000000
+ORDER BY 1, 2, 3
+"""
+
+QUERIES = {"e9_asof": e9_asof, "e12_proximity": e12_proximity}
+ORACLES = {"e9_asof": E9_SQL, "e12_proximity": E12_SQL}

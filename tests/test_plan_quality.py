@@ -118,3 +118,14 @@ def test_multimodal_frames_no_payload_fanout(spark):
     # the explode consumes the pandas-UDF *output* (metadata), which has
     # no payload column at all
     assert "payload#" not in plan[gen_pos : gen_pos + 400]
+
+
+def test_e12_proximity_is_equi_join_not_theta(spark):
+    """The ≤60s proximity join must compile to an equi-join on
+    (event_type, bucket) — a theta join would be a nested-loop
+    quadratic scan that cannot survive 100 TB."""
+    from dask_distributed_vanilla_spark.operators import asof
+
+    plan = formatted_plan(asof.e12_proximity(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
