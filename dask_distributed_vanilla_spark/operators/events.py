@@ -292,6 +292,88 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def e13_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot (pandas ``pivot_table`` analog; reference reshapes
+    via dask dataframes, ref `benchmark/tpch/queries.py` has no pivot —
+    SURVEY.md §2.4 extension). Native `groupBy().pivot(col, values)`:
+    passing the value list explicitly skips the extra distinct-scan job
+    Spark otherwise runs to discover pivot columns — at 100 TB that
+    discovery pass is a full extra scan, so the explicit list is the
+    scale idiom. Compiles to ONE hash aggregate with 2×|values|
+    conditional partial aggs (map-side combined), no shuffle beyond the
+    day key."""
+    ev = load_table(spark, sf_dir, "events")
+    piv = (
+        ev.withColumn("day", F.date_trunc("day", F.col("ts")))
+        .groupBy("day")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.round(F.sum("value"), 2).alias("sv"), F.count(F.lit(1)).alias("n"))
+    )
+    # pivot names columns {value}_{agg}; a (day, type) cell with no rows is
+    # NULL — coalesce the counts to 0 to match COUNT(CASE ...) semantics
+    return piv.select(
+        "day",
+        *[
+            c
+            for t in _EVENT_TYPES
+            for c in (
+                F.col(f"{t}_sv").alias(f"sv_{t}"),
+                F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"n_{t}"),
+            )
+        ],
+    ).orderBy("day")
+
+
+E13_SQL = """
+SELECT date_trunc('day', ts) AS day,
+       {cols}
+FROM events GROUP BY 1 ORDER BY 1
+""".format(
+    cols=",\n       ".join(
+        f"ROUND(SUM(CASE WHEN event_type = '{t}' THEN value END), 2) AS sv_{t},\n"
+        f"       CAST(COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT) AS n_{t}"
+        for t in _EVENT_TYPES
+    )
+)
+
+
+def e14_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt via native ``unpivot`` (pandas ``melt`` analog —
+    the reshape the reference expresses as dask dataframe assign/concat).
+    Unpivot is a zero-shuffle Expand node (each input row emits one row
+    per measure), so it composes after the aggregate without a second
+    exchange; measures share one type (double) as unpivot requires."""
+    from dask_distributed_vanilla_spark.functions.rounding import round2
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        round2(F.avg("value")).alias("avg_value"),
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+    )
+    return agg.unpivot(
+        "event_type", ["sum_value", "avg_value", "n_events"], "metric", "v"
+    ).orderBy("event_type", "metric")
+
+
+E14_SQL = """
+WITH agg AS (
+  SELECT event_type,
+         ROUND(SUM(value), 2) AS sum_value,
+         FLOOR(AVG(value) * 100 + 0.5) / 100 AS avg_value,
+         CAST(COUNT(*) AS DOUBLE) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT event_type, 'sum_value' AS metric, sum_value AS v FROM agg
+UNION ALL SELECT event_type, 'avg_value', avg_value FROM agg
+UNION ALL SELECT event_type, 'n_events', n_events FROM agg
+ORDER BY event_type, metric
+"""
+
+
 QUERIES = {
     "e1": e1,
     "e2": e2,
@@ -303,6 +385,8 @@ QUERIES = {
     "e8_rollup": e8_rollup,
     "e10_percentiles": e10_percentiles,
     "e11_json": e11_json,
+    "e13_pivot": e13_pivot,
+    "e14_unpivot": e14_unpivot,
 }
 ORACLES = {
     "e1": E1_SQL,
@@ -315,4 +399,6 @@ ORACLES = {
     "e8_rollup": E8_SQL,
     "e10_percentiles": E10_SQL,
     "e11_json": E11_SQL,
+    "e13_pivot": E13_SQL,
+    "e14_unpivot": E14_SQL,
 }
