@@ -374,6 +374,37 @@ ORDER BY event_type, metric
 """
 
 
+def e15_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: trailing 1-hour sum per user.
+
+    The frame the reference writes as ``rolling('1h')`` — a ROWS frame
+    cannot express it because events are irregularly spaced. Ordering by
+    ``unix_micros(ts)`` makes the frame bound an exact integer offset
+    (µs), sidestepping interval-vs-timestamp frame arithmetic divergence
+    between engines; ties include all peers on both sides. Same
+    single-shuffle-per-user scaling as the other window queries."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        ev.select("event_id", F.round(F.sum("value").over(w), 2).alias("trail_1h"))
+        .orderBy("event_id")
+        .limit(1000)
+    )
+
+
+E15_SQL = """
+SELECT event_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),2)
+         AS trail_1h
+FROM events ORDER BY event_id LIMIT 1000
+"""
+
+
 QUERIES = {
     "e1": e1,
     "e2": e2,
@@ -387,6 +418,7 @@ QUERIES = {
     "e11_json": e11_json,
     "e13_pivot": e13_pivot,
     "e14_unpivot": e14_unpivot,
+    "e15_range_window": e15_range_window,
 }
 ORACLES = {
     "e1": E1_SQL,
@@ -401,4 +433,5 @@ ORACLES = {
     "e11_json": E11_SQL,
     "e13_pivot": E13_SQL,
     "e14_unpivot": E14_SQL,
+    "e15_range_window": E15_SQL,
 }

@@ -52,3 +52,28 @@ def test_asof_join_row_atomic_carry(spark):
     assert len(out) == 1
     assert out[0]["asof_v1"] == 9.0
     assert out[0]["asof_v2"] is None
+
+
+def test_within_join_boundary_and_bucket_straddle(spark):
+    """Pairs exactly at the window bound are included, one past it are
+    not, and a pair straddling a bucket boundary (|delta| < window but
+    different buckets) is found exactly once by the +/-1 explosion."""
+    import datetime as dt
+
+    from dask_distributed_vanilla_spark.operators.asof import within_join
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("a", 1, t0),
+        ("a", 2, t0 + dt.timedelta(seconds=60)),       # exactly 60s from 1
+        ("a", 3, t0 + dt.timedelta(seconds=121)),      # 61s from 2 -> out
+        ("b", 4, t0 + dt.timedelta(seconds=59)),       # bucket 0
+        ("b", 5, t0 + dt.timedelta(seconds=61)),       # bucket 1, 2s apart
+        ("c", 6, t0),                                  # alone in its key
+    ]
+    df = spark.createDataFrame(rows, "k string, id long, ts timestamp")
+    got = {
+        (r.k, r.id_a, r.id_b, r.delta_ms)
+        for r in within_join(df, ["k"], "ts", "id", 60).collect()
+    }
+    assert got == {("a", 1, 2, 60000), ("b", 4, 5, 2000)}
