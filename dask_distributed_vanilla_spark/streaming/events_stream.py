@@ -147,13 +147,84 @@ FROM (SELECT DISTINCT ON (event_id) event_id, event_type, value FROM events
 GROUP BY 1 ORDER BY 1
 """
 
+def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged query: watermarked stream-stream interval join — the
+    click→purchase attribution shape (purchase within 1 hour of a click
+    by the same user). Both sides carry watermarks and the join condition
+    bounds event time, so Spark can expire join state: a click older than
+    the watermark minus the interval can never match a future purchase
+    and is dropped. Without the time bound the join state grows without
+    limit — the condition is the scale contract, not a filter. The joined
+    pairs land in an append-mode sink; the per-day rollup is a batch agg
+    over the sink table."""
+    sink = f"stream_join_{uuid.uuid4().hex[:8]}"
+    clicks = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purch_id"),
+            F.col("ts").alias("purch_ts"),
+        )
+        .withWatermark("purch_ts", "2 hours")
+    )
+    q = (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purch_ts") >= F.col("click_ts"))
+            & (F.col("purch_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("user_id", "click_id", "purch_id", "click_ts")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy(F.date_trunc("day", F.col("click_ts")).alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("day")
+    )
+
+
+STREAM_JOIN_SQL = """
+SELECT date_trunc('day', c.ts) AS day,
+       COUNT(*) AS n_pairs,
+       CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS n_users
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "stream_e1": stream_e1,
     "stream_sliding": stream_sliding,
     "stream_dedup": stream_dedup,
+    "stream_join": stream_join,
 }
 ORACLES = {
     "stream_e1": STREAM_E1_SQL,
     "stream_sliding": STREAM_SLIDING_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,
+    "stream_join": STREAM_JOIN_SQL,
 }
