@@ -373,6 +373,19 @@ class Frame:
         the reference's reset_index dance is a no-op here."""
         return self
 
+    def sample(self, frac: float, replace: bool = False, random_state: int | None = None) -> Frame:
+        """dask/pandas ``df.sample(frac=)`` — per-partition Bernoulli (or
+        Poisson, with replacement) sampling executor-side; no data ever
+        moves for the rows that are dropped, so it is the right first
+        stage of a 100 TB subsample."""
+        return Frame(self.df.sample(withReplacement=replace, fraction=frac, seed=random_state))
+
+    def random_split(self, frac: list[float], random_state: int | None = None) -> list[Frame]:
+        """dask ``df.random_split([0.9, 0.1])`` (train/holdout split) →
+        ``randomSplit``: one shared per-row draw partitions rows into
+        disjoint, exhaustive frames in a single pass."""
+        return [Frame(d) for d in self.df.randomSplit(list(frac), seed=random_state)]
+
     def head(self, n: int = 5):
         return self.df.limit(n).toPandas()
 

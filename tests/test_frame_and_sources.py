@@ -189,3 +189,23 @@ def test_read_json_roundtrip(spark, tmp_path):
     got = {r["id"]: (r["name"], r["score"]) for r in back.collect()}
     exp = {r["id"]: (r["name"], r["score"]) for r in df.collect()}
     assert got == exp
+
+
+def test_sample_and_random_split(spark):
+    """sample(frac) hits the requested fraction (Bernoulli tolerance) and
+    is reproducible under a seed; random_split partitions rows into
+    disjoint, exhaustive frames."""
+    from dask_distributed_vanilla_spark.frame import Frame
+
+    fr = Frame(spark.range(10_000).selectExpr("id", "id % 7 AS g"))
+    s = fr.sample(0.2, random_state=42)
+    n = len(s)
+    assert 1600 < n < 2400
+    assert len(fr.sample(0.2, random_state=42)) == n  # seeded → reproducible
+
+    train, test = fr.random_split([0.8, 0.2], random_state=7)
+    ids_train = {r.id for r in train.df.collect()}
+    ids_test = {r.id for r in test.df.collect()}
+    assert ids_train.isdisjoint(ids_test)
+    assert len(ids_train) + len(ids_test) == 10_000
+    assert 7000 < len(ids_train) < 9000
