@@ -302,9 +302,10 @@ def e13_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     passing the value list explicitly skips the extra distinct-scan job
     Spark otherwise runs to discover pivot columns — at 100 TB that
     discovery pass is a full extra scan, so the explicit list is the
-    scale idiom. Compiles to ONE hash aggregate with 2×|values|
-    conditional partial aggs (map-side combined), no shuffle beyond the
-    day key."""
+    scale idiom. Physical plan is Spark's two-phase pivot: a map-side
+    combined aggregate on (day, event_type) first, then PivotFirst on
+    day — the second shuffle moves only the pre-aggregated
+    |days|×|types| rows, so it is free at any scale."""
     ev = load_table(spark, sf_dir, "events")
     piv = (
         ev.withColumn("day", F.date_trunc("day", F.col("ts")))

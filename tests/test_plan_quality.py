@@ -129,3 +129,14 @@ def test_e12_proximity_is_equi_join_not_theta(spark):
     plan = formatted_plan(asof.e12_proximity(spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_e15_single_shuffle_and_topk(spark):
+    """The RANGE-frame window runs on exactly one user_id exchange, and
+    the trailing orderBy+limit stays TakeOrderedAndProject (no global
+    sort)."""
+    from dask_distributed_vanilla_spark.operators import events
+
+    plan = formatted_plan(events.e15_range_window(spark, SF_SMOKE))
+    assert plan.count("Exchange (") == 1
+    assert "TakeOrderedAndProject" in plan
