@@ -189,6 +189,27 @@ def kmeans_fit(df: DataFrame, k: int = 3, seed: int = 42, vec_col: str = "embedd
     return KMeans(k=k, seed=seed, featuresCol="features").fit(feats)
 
 
+class LeastSquaresModel:
+    """Minimal picklable linear classifier for `parallel_post_fit_predict`
+    demos/benchmarks when sklearn is absent (reference uses
+    `sklearn.svm.SVC` inside dask_ml ParallelPostFit,
+    `parallelizing_svm.py:23-41`): least-squares fit on the driver,
+    thresholded predict executor-side. Any object with
+    ``.predict(ndarray)`` plugs into the same broadcast path."""
+
+    def __init__(self, w: np.ndarray, b: float):
+        self.w, self.b = w, b
+
+    @classmethod
+    def fit(cls, x: np.ndarray, y: np.ndarray) -> "LeastSquaresModel":
+        xb = np.hstack([x, np.ones((len(x), 1))])
+        coef, *_ = np.linalg.lstsq(xb, y * 2.0 - 1.0, rcond=None)
+        return cls(coef[:-1], float(coef[-1]))
+
+    def predict(self, x: np.ndarray) -> np.ndarray:
+        return (x @ self.w + self.b > 0).astype(float)
+
+
 def parallel_post_fit_predict(
     spark: SparkSession, model, df: DataFrame, feature_col: str = "embedding"
 ) -> DataFrame:
@@ -203,7 +224,10 @@ def parallel_post_fit_predict(
 
         m = bc.value
         for pdf in batches:
-            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[feature_col]])
+            # single fromiter-style stack: pandas holds the Arrow list
+            # column as object ndarrays — np.vstack over .values avoids
+            # the per-row asarray loop
+            x = np.vstack(pdf[feature_col].values).astype(np.float64, copy=False)
             out = pdf.drop(columns=[feature_col]).copy()
             out["prediction"] = pd.Series(np.asarray(m.predict(x)).ravel(), index=pdf.index)
             yield out

@@ -67,6 +67,58 @@ def linalg_workloads(spark, scale: str = "small") -> dict:
         "sec": round(time.perf_counter() - t0, 3),
         "s_max": round(float(s[0]), 2),
     }
+
+    # kmeans (reference benchmark/kmeans.py: 10M samples, 3 clusters) at
+    # local scale: 3 planted separable clusters, scalable k-means|| fit
+    from pyspark.sql import functions as F
+
+    km_n, km_dim = (200_000, 8) if scale == "small" else (1_000_000, 8)
+    t0 = time.perf_counter()
+    pts = spark.range(km_n).select(
+        F.array(
+            *[(F.rand(seed=i) + (F.col("id") % 3).cast("double") * 3.0) for i in range(km_dim)]
+        ).alias("embedding")
+    )
+    model = linalg.kmeans_fit(pts, k=3, seed=11)
+    results["kmeans"] = {
+        "samples": km_n,
+        "dim": km_dim,
+        "k": 3,
+        "sec": round(time.perf_counter() - t0, 3),
+    }
+
+    # ParallelPostFit predict (reference parallelizing_svm.py:23-41):
+    # single-node fit, broadcast-model distributed predict over Arrow
+    # batches — timed on the predict side, which is the scaled part
+    svm_n = km_n
+    rng = np.random.RandomState(0)
+    x_fit = rng.random_sample((2_000, km_dim))
+    y_fit = (x_fit.sum(axis=1) > km_dim / 2).astype(int)
+    try:
+        from sklearn.svm import LinearSVC
+
+        clf = LinearSVC().fit(x_fit, y_fit)
+    except ImportError:  # container has no sklearn — any .predict works
+        clf = linalg.LeastSquaresModel.fit(x_fit, y_fit)
+    xs = (
+        spark.range(svm_n)
+        .select(
+            F.col("id"),
+            F.array(*[F.rand(seed=100 + i) for i in range(km_dim)]).alias("embedding"),
+        )
+        .persist()
+    )
+    xs.count()  # materialize input outside the timed window
+    t0 = time.perf_counter()
+    pred = linalg.parallel_post_fit_predict(spark, clf, xs)
+    n_pos = pred.agg(F.sum("prediction")).collect()[0][0]
+    xs.unpersist()
+    results["svm_predict"] = {
+        "samples": svm_n,
+        "dim": km_dim,
+        "sec": round(time.perf_counter() - t0, 3),
+        "share_pos": round(float(n_pos) / svm_n, 3),
+    }
     return results
 
 
