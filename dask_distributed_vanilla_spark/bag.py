@@ -51,12 +51,20 @@ class Bag:
         key: Callable[[Any], Any],
         binop: Callable[[Any, Any], Any],
         initial: Any,
+        combine: Callable[[Any, Any], Any] | None = None,
     ) -> Bag:
         """Per-key combine-then-merge (dask bag.foldby): aggregateByKey
         gives map-side partial aggregation, so the shuffle carries one
-        partial per (partition, key) — never the raw elements."""
+        partial per (partition, key) — never the raw elements.
+
+        ``combine`` merges two cross-partition partials (dask's separate
+        ``combine`` argument, ref dask/bag/core.py foldby). It defaults to
+        ``binop`` — correct whenever partials have the same type as
+        elements (max, min, sum); pass an explicit combine when they
+        don't (e.g. binop builds a set, combine unions two sets)."""
+        comb = combine if combine is not None else binop
         return Bag(
-            self.rdd.map(lambda x: (key(x), x)).aggregateByKey(initial, binop, _merge)
+            self.rdd.map(lambda x: (key(x), x)).aggregateByKey(initial, binop, comb)
         )
 
     def frequencies(self) -> Bag:
@@ -78,7 +86,3 @@ class Bag:
         return spark.createDataFrame(self.rdd, schema)
 
 
-def _merge(a: Any, b: Any) -> Any:
-    """Partial-merge for foldby: works for counts/sums (the bag use case
-    in the reference test); override by composing binops if needed."""
-    return a + b

@@ -357,9 +357,10 @@ class Client:
         here: task table + cluster snapshot, with the full detail in the
         Spark UI/event log when enabled)."""
         t0 = time.time()
-        n0 = len(self._task_stream)
         yield
-        recs = list(self._task_stream)[n0:]
+        # Filter by start time, not deque index: the maxlen deque can
+        # rotate during the block, which would misalign an index offset.
+        recs = [r for r in self._task_stream if r["start"] >= t0]
         rows = "".join(
             f"<tr><td>{r['key']}</td><td>{r['function']}</td>"
             f"<td>{r['stop'] - r['start']:.4f}s</td><td>{r['status']}</td></tr>"
@@ -376,16 +377,36 @@ class Client:
             f.write(html)
 
     def register_worker_plugin(self, plugin: Any, name: str | None = None) -> list:
-        """Run ``plugin.setup()`` once per executor core slot (reference
-        `client.py:4037` runs setup on every worker). The plugin must be
-        picklable; per-slot return values come back to the driver."""
-        self._plugins[name or type(plugin).__name__] = plugin
+        """Run ``plugin.setup()`` on the cluster's python workers
+        (reference `client.py:4037` runs setup on every worker).
+
+        Spark gives no task-placement guarantee, so this is best-effort
+        coverage: we fan out 2× defaultParallelism no-op tasks and guard
+        ``setup`` with a per-python-worker-process memo so a worker that
+        receives several tasks still runs setup exactly once (with
+        ``spark.python.worker.reuse`` — the default — the memo persists
+        for the worker's lifetime). A worker that receives no task runs
+        setup lazily the first time any later task lands on it is NOT
+        implemented; callers needing a hard guarantee should invoke their
+        setup from the task function itself. Returns the setup results of
+        the workers that ran it this call."""
+        pname = name or type(plugin).__name__
+        self._plugins[pname] = plugin
         setup = getattr(plugin, "setup", None)
         if setup is None:
             return []
         sc = self.spark.sparkContext
-        n = sc.defaultParallelism
-        return sc.parallelize(range(n), n).map(lambda _: setup(None)).collect()
+        n = 2 * sc.defaultParallelism
+
+        def run_once(_):
+            done = _worker_plugin_memo()
+            if pname in done:
+                return _SKIPPED
+            done.add(pname)
+            return setup(None)
+
+        out = sc.parallelize(range(n), n).map(run_once).collect()
+        return [r for r in out if r != _SKIPPED]
 
     def restart(self) -> None:
         """Drop all cached state (reference `client.py:2997` clears cluster
@@ -396,6 +417,20 @@ class Client:
 
     def close(self) -> None:
         self._pool.shutdown(wait=False)
+
+
+# Per-python-worker-process memo for register_worker_plugin. Each Spark
+# python worker imports this module independently, so the set is
+# naturally scoped to one worker process (reused across its tasks when
+# spark.python.worker.reuse is on). The indirection function pickles by
+# reference, keeping the memo worker-local instead of shipping the
+# driver's copy.
+_WORKER_PLUGIN_DONE: set[str] = set()
+_SKIPPED = "__plugin_setup_skipped__"
+
+
+def _worker_plugin_memo() -> set[str]:
+    return _WORKER_PLUGIN_DONE
 
 
 # -- module-level helpers matching the reference's API --------------------

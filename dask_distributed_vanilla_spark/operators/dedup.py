@@ -19,6 +19,8 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -32,6 +34,15 @@ NGRAM = 3
 MINHASH_K = 9
 LSH_BANDS = 3  # 3 bands × 3 rows; P(candidate | j=0.9) ≈ 0.97
 JACCARD_THRESHOLD = 0.6
+
+# Document-frequency ceiling for the exact ngram-Jaccard baseline: a
+# shingle held by more than DF_CAP documents is a stop-shingle ("the end
+# of") and is removed from the shingle universe BEFORE pairing and
+# counting — without it one hot shingle in 100k docs yields 10^10 join
+# pairs. Near-dups share rare shingles too, so recall is preserved
+# (standard practice in shingle-based dedup). Applied identically in the
+# DuckDB oracle so results stay bit-equal.
+DF_CAP = 1000
 
 # Jaccard is a ratio of small integers -> lands on the .xx5 grid; use the
 # engine-portable half-up rounding in both SQL dialects (functions/rounding.py).
@@ -121,12 +132,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     produce a pair, and on real corpora most shingles are unique — the
     semi-join against multi-document shingles shrinks the self-join
     input by an order of magnitude without changing the result.
+
+    Document-frequency ceiling: shingles with df > DF_CAP are dropped
+    from the universe before BOTH the pair join and the per-doc counts
+    (stop-shingle removal, mirrored in the oracle), bounding the worst
+    shingle's pair contribution to DF_CAP² instead of corpus².
     """
     sh = _shingle_table(spark, sf_dir, materialize=True)
+    df_tbl = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    kept = df_tbl.where(F.col("df") <= DF_CAP)
+    sh = sh.join(kept.select("sh"), "sh", "left_semi")
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    shared = (
-        sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") > 1).select("sh")
-    )
+    shared = kept.where(F.col("df") > 1).select("sh")
     sh = sh.join(shared, "sh", "left_semi")
     a = sh.alias("a")
     b = sh.alias("b")
@@ -148,7 +165,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_NGRAM_SQL = f"""
-WITH sh AS ({_SHINGLE_SQL}),
+WITH sh0 AS ({_SHINGLE_SQL}),
+keep AS (SELECT sh FROM sh0 GROUP BY 1 HAVING COUNT(*) <= {DF_CAP}),
+sh AS (SELECT s.doc_id, s.sh FROM sh0 s JOIN keep USING (sh)),
 cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
@@ -436,6 +455,7 @@ def dedup_cc(spark: SparkSession, sf_dir: str, max_iter: int = 10) -> DataFrame:
         .select(F.col("doc_id").alias("node"), F.col("doc_id").alias("label"))
         .localCheckpoint()
     )
+    changed = 1
     for _ in range(max_iter):
         prop = (
             edges.join(labels.withColumnRenamed("node", "src"), "src")
@@ -443,6 +463,10 @@ def dedup_cc(spark: SparkSession, sf_dir: str, max_iter: int = 10) -> DataFrame:
             .agg(F.min("label").alias("nlabel"))
             .withColumnRenamed("dst", "node")
         )
+        # Carry a changed flag in the same propagation job: the eager
+        # localCheckpoint materializes (node, label, chg) once, so the
+        # convergence check below is an early-exit scan of cached blocks,
+        # not the extra join + full count job per round it used to be.
         new_labels = (
             labels.join(prop, "node", "left")
             .select(
@@ -450,18 +474,24 @@ def dedup_cc(spark: SparkSession, sf_dir: str, max_iter: int = 10) -> DataFrame:
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
+                (F.coalesce(F.col("nlabel"), F.col("label")) < F.col("label")).alias(
+                    "chg"
+                ),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "node")
-            .where(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("chg")).limit(1).count()
+        labels = new_labels.drop("chg")
         if changed == 0:
             break
+    if changed != 0:
+        warnings.warn(
+            f"dedup_cc: min-label propagation did not converge within "
+            f"max_iter={max_iter} rounds (component diameter exceeds the "
+            f"round budget); returned labels are NOT a fixpoint",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     ).orderBy("doc_id")

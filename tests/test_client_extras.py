@@ -98,15 +98,36 @@ def test_futures_of_and_task_stream(client):
     assert {"key", "function", "start", "stop", "status"} <= set(stream[-1])
 
 
+def _ran_before_block():
+    return 1
+
+
+def _ran_inside_block():
+    return 2
+
+
 def test_performance_report(client, tmp_path):
     out = tmp_path / "report.html"
+    client.submit(_ran_before_block, pure=False).result()
     with client.performance_report(str(out)):
-        client.submit(lambda: 42, pure=False).result()
+        client.submit(_ran_inside_block, pure=False).result()
     html = out.read_text()
     assert "performance report" in html and "OK" in html
+    # records are selected by start-time, so pre-block tasks stay out
+    # even though they share the task-stream deque
+    assert "_ran_inside_block" in html
+    assert "_ran_before_block" not in html
 
 
 def test_register_worker_plugin(client):
     got = client.register_worker_plugin(_CounterPlugin())
-    assert got == ["ready"] * client.nthreads()
+    # best-effort coverage: each python worker that received a probe task
+    # runs setup exactly once (per-process memo), so the count is between
+    # 1 and the 2*parallelism probes — never one result per probe task
+    assert got and set(got) == {"ready"}
+    assert len(got) <= 2 * client.nthreads()
     assert "_CounterPlugin" in client._plugins
+    # re-registering under the same name: workers that already ran setup
+    # skip it, so no worker reports twice in one reused-worker session
+    again = client.register_worker_plugin(_CounterPlugin())
+    assert set(again) <= {"ready"}

@@ -174,6 +174,24 @@ def test_bag_analog(spark):
                         2: sum(x * 2 for x in range(1, 100, 2))}
     freqs = dict(Bag.from_sequence(spark, list("aabbbc")).frequencies().compute())
     assert freqs == {"a": 2, "b": 3, "c": 1}
+    # non-additive binop: cross-partition partials must merge with the
+    # binop (dask's combine default), not a hardcoded a+b
+    maxes = dict(
+        Bag.from_sequence(spark, range(100), npartitions=8).foldby(
+            lambda x: x % 3, max, 0
+        ).compute()
+    )
+    assert maxes == {0: 99, 1: 97, 2: 98}
+    # distinct combine: binop folds elements into a set, combine unions
+    sets = dict(
+        Bag.from_sequence(spark, [1, 1, 2, 5, 5, 8], npartitions=3).foldby(
+            lambda x: x % 2,
+            lambda acc, x: acc | {x},
+            frozenset(),
+            combine=lambda a, b: a | b,
+        ).compute()
+    )
+    assert sets == {0: {2, 8}, 1: {1, 5}}
     df = b.map(lambda x: (x,)).to_dataframe(spark, "x long")
     assert df.agg({"x": "sum"}).collect()[0][0] == sum(range(0, 200, 2))
 

@@ -36,3 +36,28 @@ def test_ivf_kmeans_recall(spark):
 def test_frame_sample_shape(spark):
     rows = frame_sample(spark, SF_SMOKE, every_nth=10).limit(50).collect()
     assert rows and all(r.frame_idx % 10 == 0 for r in rows)
+
+
+def test_ngram_df_cap_drops_stop_shingles(spark, monkeypatch):
+    """DF ceiling: with the cap below every shared shingle's df, no pair
+    can form — the hot-shingle blowup path is provably closed."""
+    from dask_distributed_vanilla_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "DF_CAP", 1)
+    assert dedup.dedup_ngram_jaccard(spark, SF_SMOKE).count() == 0
+
+
+def test_dedup_cc_warns_when_not_converged(spark):
+    """A round budget smaller than the graph diameter must surface a
+    RuntimeWarning instead of silently returning non-fixpoint labels."""
+    import warnings
+
+    from dask_distributed_vanilla_spark.operators.dedup import dedup_cc
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dedup_cc(spark, SF_SMOKE, max_iter=1).count()
+    assert any(
+        issubclass(x.category, RuntimeWarning) and "converge" in str(x.message)
+        for x in w
+    )
