@@ -255,6 +255,25 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def e10_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for e10: `approx_percentile` (Greenwald-Khanna summary,
+    mergeable map-side — no per-group sort, bounded memory per group
+    regardless of group size). accuracy=10000 bounds rank error at 1e-4·n.
+    Judged rows-only (no engine-portable exact oracle exists for GK
+    output); tests/test_queries.py pins the values against the exact e10
+    within the declared error bound."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("approx_percentile(value, 0.5, 10000)"), 2).alias("p50"),
+            F.round(F.expr("approx_percentile(value, 0.9, 10000)"), 2).alias("p90"),
+            F.round(F.expr("approx_percentile(value, 0.99, 10000)"), 2).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def e11_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON property extraction (SURVEY.md §2.8 json functions): the
     `props` column is a JSON string; `get_json_object` parses it
@@ -416,6 +435,7 @@ QUERIES = {
     "e7_setops": e7_setops,
     "e8_rollup": e8_rollup,
     "e10_percentiles": e10_percentiles,
+    "e10_percentiles_approx": e10_percentiles_approx,
     "e11_json": e11_json,
     "e13_pivot": e13_pivot,
     "e14_unpivot": e14_unpivot,
@@ -431,6 +451,7 @@ ORACLES = {
     "e7_setops": E7_SQL,
     "e8_rollup": E8_SQL,
     "e10_percentiles": E10_SQL,
+    "e10_percentiles_approx": None,  # GK sketch: rows-only check; bound-tested in pytest
     "e11_json": E11_SQL,
     "e13_pivot": E13_SQL,
     "e14_unpivot": E14_SQL,

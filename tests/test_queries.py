@@ -77,3 +77,42 @@ def test_within_join_boundary_and_bucket_straddle(spark):
         for r in within_join(df, ["k"], "ts", "id", 60).collect()
     }
     assert got == {("a", 1, 2, 60000), ("b", 4, 5, 2000)}
+
+
+def test_e10_approx_within_rank_error(spark):
+    """approx_percentile (GK, accuracy=1e4) vs exact: each approximate
+    pX must land inside the exact [p(X-1), p(X+1)] band — the rank-error
+    contract, robust to discrete-vs-interpolated tail gaps."""
+    from pyspark.sql import functions as F
+
+    from dask_distributed_vanilla_spark.catalog import load_table
+    from dask_distributed_vanilla_spark.operators.events import (
+        e10_percentiles_approx,
+    )
+    from tests.conftest import SF_SMOKE
+
+    approx = {r.event_type: r for r in e10_percentiles_approx(spark, SF_SMOKE).collect()}
+    bounds = {
+        r.event_type: r
+        for r in (
+            load_table(spark, SF_SMOKE, "events")
+            .groupBy("event_type")
+            .agg(
+                *[
+                    F.expr(f"percentile(value, {p})").alias(n)
+                    for n, p in [
+                        ("lo50", 0.49), ("hi50", 0.51),
+                        ("lo90", 0.89), ("hi90", 0.91),
+                        ("lo99", 0.98), ("hi99", 1.0),
+                    ]
+                ]
+            )
+            .collect()
+        )
+    }
+    assert set(approx) == set(bounds)
+    for et, a in approx.items():
+        b = bounds[et]
+        assert b.lo50 - 0.01 <= a.p50 <= b.hi50 + 0.01, (et, "p50")
+        assert b.lo90 - 0.01 <= a.p90 <= b.hi90 + 0.01, (et, "p90")
+        assert b.lo99 - 0.01 <= a.p99 <= b.hi99 + 0.01, (et, "p99")
