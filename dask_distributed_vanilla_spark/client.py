@@ -127,11 +127,26 @@ class Client:
         # bounded execution log backing get_task_stream/performance_report
         self._task_stream: collections.deque[dict[str, Any]] = collections.deque(maxlen=10_000)
         self._plugins: dict[str, Any] = {}
+        # live actors by key (the reference worker's `actors` registry)
+        self._actors: dict[str, Any] = {}
 
     # -- task parallel ----------------------------------------------------
-    def submit(self, fn, *args: Any, pure: bool = True, **kwargs: Any):
+    def submit(self, fn, *args: Any, pure: bool = True, actor: bool = False, **kwargs: Any):
         """Schedule ``fn(*args)``; identical pure calls share one future
-        (reference `client.py:1447-1565`)."""
+        (reference `client.py:1447-1565`). With ``actor=True`` and a
+        class, the future resolves to an Actor proxy
+        (reference `client.py:1510`, `actor.py:12-203`)."""
+        if actor:
+            from dask_distributed_vanilla_spark.actors import create_actor
+
+            fut = self._pool.submit(create_actor, fn, *args, **kwargs)
+
+            def _register(f):
+                if f.exception() is None:
+                    self._actors[f.result().key] = f.result()
+
+            fut.add_done_callback(_register)
+            return fut
         key = tokenize(fn, *args, **kwargs) if pure else None  # None → not memoizable
         if key is not None:
             with self._lock:

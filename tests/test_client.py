@@ -162,3 +162,80 @@ def test_coordination_primitives():
     assert not sem.acquire(timeout=0.01)
     sem.release()
     sem.release()
+
+
+# -- actors (reference distributed/actor.py, tests/test_actor.py) ---------
+class _Counter:
+    """Reference test_actor.py Counter."""
+
+    n = 0
+
+    def __init__(self):
+        self.n = 0
+
+    def increment(self):
+        self.n += 1
+        return self.n
+
+    def add(self, x):
+        self.n += x
+        return self.n
+
+
+def test_actor_sync(client):
+    """Mirrors reference test_actor.py::test_sync."""
+    from dask_distributed_vanilla_spark.actors import Actor, ActorFuture
+
+    counter = client.submit(_Counter, actor=True).result()
+    assert isinstance(counter, Actor)
+    assert counter.n == 0
+    future = counter.increment()
+    assert isinstance(future, ActorFuture)
+    assert future.result() == 1
+    assert counter.n == 1
+    assert future.result() == future.result()
+    assert "ActorFuture" in repr(future)
+    assert "Actor: _Counter" in repr(counter)
+    assert counter.key in client._actors
+
+
+def test_actor_surface(client):
+    """Mirrors reference test_actor.py::test_Actor / test_dir."""
+    counter = client.submit(_Counter, actor=True).result()
+    assert counter._cls is _Counter
+    assert hasattr(counter, "n")
+    assert hasattr(counter, "increment")
+    assert hasattr(counter, "add")
+    assert not hasattr(counter, "abc")
+    assert "increment" in dir(counter)
+
+
+def test_actor_exceptions(client):
+    """Mirrors test_exceptions_create / test_exceptions_method."""
+    import pytest
+
+    class _FailsInit:
+        def __init__(self):
+            raise ValueError("bar")
+
+    with pytest.raises(ValueError, match="bar"):
+        client.submit(_FailsInit, actor=True).result()
+
+    class _Throws:
+        def throw(self):
+            1 / 0
+
+    foo = client.submit(_Throws, actor=True).result()
+    with pytest.raises(ZeroDivisionError):
+        foo.throw().result()
+
+
+def test_actor_serial_execution(client):
+    """One-at-a-time method execution: racing increments from many
+    client threads never lose an update (the actor-model guarantee the
+    reference provides by running methods on one worker)."""
+    counter = client.submit(_Counter, actor=True, pure=False).result()
+    futs = [counter.increment() for _ in range(200)]
+    results = [f.result() for f in futs]
+    assert counter.n == 200
+    assert sorted(results) == list(range(1, 201))  # every update observed
