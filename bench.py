@@ -23,6 +23,13 @@ from dask_distributed_vanilla_spark.plans.registry import all_queries
 from dask_distributed_vanilla_spark.session import get_spark
 
 
+# Suite-total drift budget at the driver's sf0.1 / local[32] config:
+# round 2 measured 70.6s over 65 queries; exceeding the budget flags a
+# regression in the output instead of relying on a human diff.
+SUITE_BUDGET_SEC = 85.0
+SUBSEC_REPS = 5
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = int(os.environ.get("BENCH_REPS", "3"))
@@ -43,6 +50,13 @@ def main() -> None:
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).collect()
             runs.append(time.perf_counter() - t0)
+        # sub-second medians sit at the JVM noise floor: extend to
+        # SUBSEC_REPS so round-over-round drift is separable from noise
+        if statistics.median(runs) < 1.0:
+            while len(runs) < SUBSEC_REPS:
+                t0 = time.perf_counter()
+                queries[name](spark, sf_dir).collect()
+                runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
@@ -68,6 +82,9 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "reps": reps,
+                "reps_subsec": SUBSEC_REPS,
+                "budget_sec": SUITE_BUDGET_SEC,
+                "over_budget": total > SUITE_BUDGET_SEC,
                 "spark": spark.version,
                 "cores": os.environ.get("SPARK_GRAFT_CPUS", "*"),
                 "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),

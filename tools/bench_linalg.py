@@ -26,6 +26,22 @@ SIZES = {
     # (matmul n, chunk), (svd rows, cols, parts), (svd_sq n, chunk, k)
     "small": ((1024, 256), (100_000, 64, 16), (1024, 256, 5)),
     "medium": ((4096, 1024), (500_000, 128, 32), (4096, 1024, 5)),
+    # "large" = the largest 128 GiB / local[32] analogs of the BASELINE.md
+    # cluster configs, same algorithms and chunking discipline:
+    #   matmul 16k×16k chunk 4k   (ref matrix_multiplication.py:18-22: 64k×64k chunk 8k)
+    #   TSQR   1,048,576×1024 in 16384-row chunks
+    #                             (ref svd_tall_skinny_matrix.py:21-25: 1,048,576×4096)
+    #   svd_compressed 16k×16k    (ref svd_square_matrix.py: 16k×16k)
+    "large": ((16_384, 4_096), (1_048_576, 1_024, 64), (16_384, 4_096, 5)),
+}
+
+# kmeans samples / predict rows per scale (ref kmeans.py:22-28: 10M
+# samples, 3 centers; parallelizing_svm.py:23-41: 100M-row predict —
+# 20M×8 is the same broadcast-predict shape at sandbox scale)
+POINT_SIZES = {
+    "small": (200_000, 200_000),
+    "medium": (1_000_000, 1_000_000),
+    "large": (10_000_000, 20_000_000),
 }
 
 
@@ -72,7 +88,8 @@ def linalg_workloads(spark, scale: str = "small") -> dict:
     # local scale: 3 planted separable clusters, scalable k-means|| fit
     from pyspark.sql import functions as F
 
-    km_n, km_dim = (200_000, 8) if scale == "small" else (1_000_000, 8)
+    km_n, svm_n = POINT_SIZES[scale]
+    km_dim = 8
     t0 = time.perf_counter()
     pts = spark.range(km_n).select(
         F.array(
@@ -90,14 +107,13 @@ def linalg_workloads(spark, scale: str = "small") -> dict:
     # ParallelPostFit predict (reference parallelizing_svm.py:23-41):
     # single-node fit, broadcast-model distributed predict over Arrow
     # batches — timed on the predict side, which is the scaled part
-    svm_n = km_n
     rng = np.random.RandomState(0)
     x_fit = rng.random_sample((2_000, km_dim))
     y_fit = (x_fit.sum(axis=1) > km_dim / 2).astype(int)
     try:
-        from sklearn.svm import LinearSVC
+        from sklearn.svm import SVC  # the reference's model class
 
-        clf = LinearSVC().fit(x_fit, y_fit)
+        clf = SVC(gamma="scale").fit(x_fit, y_fit)
     except ImportError:  # container has no sklearn — any .predict works
         clf = linalg.LeastSquaresModel.fit(x_fit, y_fit)
     xs = (
@@ -116,6 +132,7 @@ def linalg_workloads(spark, scale: str = "small") -> dict:
     results["svm_predict"] = {
         "samples": svm_n,
         "dim": km_dim,
+        "model": type(clf).__name__,
         "sec": round(time.perf_counter() - t0, 3),
         "share_pos": round(float(n_pos) / svm_n, 3),
     }
