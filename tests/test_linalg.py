@@ -18,6 +18,9 @@ def test_block_matmul_matches_numpy(spark):
     got = linalg.collect_matrix(linalg.block_matmul(a, b))
     want = linalg.collect_matrix(a) @ linalg.collect_matrix(b)
     np.testing.assert_allclose(got, want, rtol=1e-10)
+    # blockwise grid plan (non-square grid: 4×3 contraction over k=3)
+    got_grid = linalg.collect_matrix(linalg.block_matmul(a, b, grid=(4, 3, 2)))
+    np.testing.assert_allclose(got_grid, want, rtol=1e-10)
 
 
 def test_tsqr_svd_tall_skinny(spark):

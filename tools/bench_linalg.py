@@ -54,7 +54,8 @@ def linalg_workloads(spark, scale: str = "small") -> dict:
     t0 = time.perf_counter()
     a = linalg.random_block_matrix(spark, mm_n, mm_n, mm_chunk, seed=1)
     b = linalg.random_block_matrix(spark, mm_n, mm_n, mm_chunk, seed=2)
-    linalg.block_matmul(a, b).map(lambda kv: float(kv[1].sum())).sum()
+    bn = (mm_n + mm_chunk - 1) // mm_chunk
+    linalg.block_matmul(a, b, grid=(bn, bn, bn)).map(lambda kv: float(kv[1].sum())).sum()
     results["matmul"] = {"n": mm_n, "chunk": mm_chunk, "sec": round(time.perf_counter() - t0, 3)}
 
     t0 = time.perf_counter()
