@@ -69,7 +69,12 @@ def main() -> None:
         from tools.bench_linalg import linalg_workloads
 
         aux["skew"] = skew_bench(spark, n_rows=3_000_000)
-        aux["linalg"] = linalg_workloads(spark, "small")
+        # "large" = the BASELINE.md-named configs at 128 GiB/local[32]
+        # scale (tools/bench_linalg.py SIZES); ~4-5 min — drop to
+        # "small" via env when iterating
+        aux["linalg"] = linalg_workloads(
+            spark, os.environ.get("SPARK_GRAFT_LINALG_SCALE", "large")
+        )
 
     print(
         json.dumps(

@@ -72,36 +72,93 @@ def block_matmul(a: RDD, b: RDD, grid: tuple[int, int, int] | None = None) -> RD
         )
     bi_n, bk_n, bj_n = grid
 
+    # Transport granularity: PySpark moves many-MB single records ~7×
+    # slower than the same bytes in few-MB records (measured 21.7s vs
+    # 3.0s for the same 2 GB through partitionBy), so blocks ship as
+    # ~4 MiB row slices and reassemble in the reduce task.
+    slice_bytes = 4 << 20
+
+    def _slices(block: np.ndarray):
+        step = max(1, slice_bytes // max(1, block.shape[1] * block.itemsize))
+        for s in range(0, block.shape[0], step):
+            yield s, block[s : s + step]
+
     def fan_a(kv: Block):
         (bi, bk), block = kv
-        return [((bi, bj), (bk, "a", block)) for bj in range(bj_n)]
+        slices = list(_slices(block))
+        return [
+            ((bi, bj), (bk, 0, s, len(slices), part))
+            for bj in range(bj_n)
+            for s, part in slices
+        ]
 
     def fan_b(kv: Block):
         (bk, bj), block = kv
-        return [((bi, bj), (bk, "b", block)) for bi in range(bi_n)]
+        slices = list(_slices(block))
+        return [
+            ((bi, bj), (bk, 1, s, len(slices), part))
+            for bi in range(bi_n)
+            for s, part in slices
+        ]
 
-    def contract(group):
-        parts_a: dict[int, np.ndarray] = {}
-        parts_b: dict[int, np.ndarray] = {}
-        for bk, side, block in group:
-            (parts_a if side == "a" else parts_b)[bk] = block
-        out = None
-        for bk in parts_a:
-            p = parts_a[bk] @ parts_b[bk]
-            out = p if out is None else out + p
-        return out
+    def contract_partition(records):
+        # Manual streaming regroup: pyspark's groupByKey funnels the
+        # partition through its python-side ExternalGroupBy spill
+        # machinery (measured 233s vs 24s for the identical shuffle read
+        # via partitionBy + mapPartitions). Blocks multiply the moment
+        # both sides of a (key, bk) pair are fully reassembled, so peak
+        # memory is ~2 blocks + in-flight slices, not the whole group.
+        slices: dict[tuple, dict[int, np.ndarray]] = {}
+        ready: dict[tuple, list] = {}
+        acc: dict[tuple, np.ndarray] = {}
+        for ij, (bk, side, s, n_sl, part) in records:
+            d = slices.setdefault((ij, bk, side), {})
+            d[s] = part
+            if len(d) < n_sl:
+                continue
+            blk = np.vstack([d[k] for k in sorted(d)]) if n_sl > 1 else d[s]
+            del slices[(ij, bk, side)]
+            pair = ready.setdefault((ij, bk), [None, None])
+            pair[side] = blk
+            if pair[0] is not None and pair[1] is not None:
+                p = pair[0] @ pair[1]
+                acc[ij] = p if ij not in acc else acc[ij] + p
+                del ready[(ij, bk)]
+        yield from acc.items()
 
     return (
         a.flatMap(fan_a)
         .union(b.flatMap(fan_b))
         # exact partitioner: one output block per partition, no hash
         # collisions — every core gets a whole (i, j) contraction
-        .groupByKey(
-            numPartitions=bi_n * bj_n,
-            partitionFunc=lambda ij: ij[0] * bj_n + ij[1],
-        )
-        .mapValues(contract)
+        .partitionBy(bi_n * bj_n, partitionFunc=lambda ij: ij[0] * bj_n + ij[1])
+        .mapPartitions(contract_partition)
     )
+
+
+def random_row_panels(
+    spark: SparkSession, n_rows: int, n_cols: int, panel_rows: int, seed: int = 42
+) -> RDD:
+    """Random matrix as an RDD of (panel_idx, contiguous row panel) —
+    the layout the broadcast matmul consumes (one task per panel)."""
+    n_panels = (n_rows + panel_rows - 1) // panel_rows
+    def make(i: int):
+        rng = np.random.RandomState(seed + i)
+        rows = min(panel_rows, n_rows - i * panel_rows)
+        return i, rng.random_sample((rows, n_cols))
+    return spark.sparkContext.parallelize(range(n_panels), n_panels).map(make)
+
+
+def matmul_broadcast(spark: SparkSession, a_panels: RDD, b: np.ndarray) -> RDD:
+    """C = A @ B when B fits in executor memory — the broadcast-hash-join
+    of linear algebra: B ships once per worker via torrent broadcast,
+    every row panel of A multiplies against it map-side, and the job has
+    ZERO shuffle (vs the grid plan's 2·bk_n·n² replicated shuffle bytes).
+    The right plan whenever one operand is executor-memory-sized (same
+    decision rule Spark's own planner applies to broadcast joins); for
+    two huge operands the grid plan in block_matmul is the scale path."""
+    bb = spark.sparkContext.broadcast(b)
+    return a_panels.mapValues(lambda p: p @ bb.value)
 
 
 def collect_matrix(blocks: RDD) -> np.ndarray:

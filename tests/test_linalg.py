@@ -23,6 +23,17 @@ def test_block_matmul_matches_numpy(spark):
     np.testing.assert_allclose(got_grid, want, rtol=1e-10)
 
 
+def test_matmul_broadcast_matches_numpy(spark):
+    rng = np.random.RandomState(3)
+    b_local = rng.random_sample((40, 24))
+    panels = linalg.random_row_panels(spark, 60, 40, panel_rows=16, seed=1)
+    a_local = np.vstack([p for _, p in sorted(panels.collect())])
+    got = np.vstack(
+        [p for _, p in sorted(linalg.matmul_broadcast(spark, panels, b_local).collect())]
+    )
+    np.testing.assert_allclose(got, a_local @ b_local, rtol=1e-10)
+
+
 def test_tsqr_svd_tall_skinny(spark):
     rng = np.random.RandomState(0)
     mat = rng.random_sample((300, 8))

@@ -28,12 +28,20 @@ SIZES = {
     "medium": ((4096, 1024), (500_000, 128, 32), (4096, 1024, 5)),
     # "large" = the largest 128 GiB / local[32] analogs of the BASELINE.md
     # cluster configs, same algorithms and chunking discipline:
-    #   matmul 16k×16k chunk 4k   (ref matrix_multiplication.py:18-22: 64k×64k chunk 8k)
+    #   matmul: broadcast plan at 16k×16k (ref matrix_multiplication.py:18-22
+    #           is 64k×64k chunk 8k); the general grid-shuffle plan is
+    #           recorded at 8k×8k to keep the per-round bench bounded
+    #           (16k grid measured 390s — python-object shuffle-bound;
+    #           the broadcast plan is the right local[32] plan at 16k)
     #   TSQR   1,048,576×1024 in 16384-row chunks
     #                             (ref svd_tall_skinny_matrix.py:21-25: 1,048,576×4096)
     #   svd_compressed 16k×16k    (ref svd_square_matrix.py: 16k×16k)
-    "large": ((16_384, 4_096), (1_048_576, 1_024, 64), (16_384, 4_096, 5)),
+    "large": ((8_192, 2_048), (1_048_576, 1_024, 64), (16_384, 4_096, 5)),
 }
+
+# broadcast-plan matmul size per scale (one operand broadcast, zero
+# shuffle — viable whenever B fits executor memory)
+BCAST_MATMUL_N = {"small": 1_024, "medium": 4_096, "large": 16_384}
 
 # kmeans samples / predict rows per scale (ref kmeans.py:22-28: 10M
 # samples, 3 centers; parallelizing_svm.py:23-41: 100M-row predict —
@@ -56,7 +64,25 @@ def linalg_workloads(spark, scale: str = "small") -> dict:
     b = linalg.random_block_matrix(spark, mm_n, mm_n, mm_chunk, seed=2)
     bn = (mm_n + mm_chunk - 1) // mm_chunk
     linalg.block_matmul(a, b, grid=(bn, bn, bn)).map(lambda kv: float(kv[1].sum())).sum()
-    results["matmul"] = {"n": mm_n, "chunk": mm_chunk, "sec": round(time.perf_counter() - t0, 3)}
+    results["matmul_grid"] = {
+        "n": mm_n,
+        "chunk": mm_chunk,
+        "plan": "grid-shuffle (both operands distributed)",
+        "sec": round(time.perf_counter() - t0, 3),
+    }
+
+    bc_n = BCAST_MATMUL_N[scale]
+    t0 = time.perf_counter()
+    b_local = np.random.RandomState(7).random_sample((bc_n, bc_n))
+    panels = linalg.random_row_panels(spark, bc_n, bc_n, max(bc_n // 16, 256), seed=8)
+    linalg.matmul_broadcast(spark, panels, b_local).map(
+        lambda kv: float(kv[1].sum())
+    ).sum()
+    results["matmul_broadcast"] = {
+        "n": bc_n,
+        "plan": "broadcast operand, zero shuffle",
+        "sec": round(time.perf_counter() - t0, 3),
+    }
 
     t0 = time.perf_counter()
     rows = (
