@@ -73,7 +73,19 @@ def linalg_workloads(spark, scale: str = "small") -> dict:
 
     bc_n = BCAST_MATMUL_N[scale]
     t0 = time.perf_counter()
-    b_local = np.random.RandomState(7).random_sample((bc_n, bc_n))
+    # generate B distributed and collect: this sandbox writes fresh pages
+    # at ~18 MB/s single-threaded (measured 115s for a 2 GB driver-side
+    # RNG) vs 7.7s distributed — generate where the cores are
+    b_local = np.vstack(
+        [
+            p
+            for _, p in sorted(
+                linalg.random_row_panels(
+                    spark, bc_n, bc_n, max(bc_n // 16, 256), seed=7
+                ).collect()
+            )
+        ]
+    )
     panels = linalg.random_row_panels(spark, bc_n, bc_n, max(bc_n // 16, 256), seed=8)
     linalg.matmul_broadcast(spark, panels, b_local).map(
         lambda kv: float(kv[1].sum())
