@@ -21,6 +21,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from dask_distributed_vanilla_spark.operators import (
         asof,
+        curation,
         dedup,
         events,
         multimodal,
@@ -40,7 +41,10 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # at exactly the 50th insertion-ordered key). Queries that have never
     # had an official driver row (Tier B, the streaming twins) therefore
     # go first; entries already green in CORRECTNESS_r02 fill the tail.
-    mods = [tpch_full, events_stream, tpch, events, asof, dedup, similarity, text, multimodal]
+    # priority: never-judged (Tier B, streaming), new this round
+    # (curation), changed this round (dedup: df ceiling + convergence),
+    # then the stable tail already green in CORRECTNESS_r02
+    mods = [tpch_full, events_stream, curation, dedup, tpch, events, asof, similarity, text, multimodal]
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
     for mod in mods:
