@@ -42,6 +42,9 @@ _DEFAULTS = {
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # collect() of a broadcast-matmul operand / collect_matrix test
+    # helper can exceed the 1g default; judged query results are tiny
+    "spark.driver.maxResultSize": "4g",
 }
 
 
