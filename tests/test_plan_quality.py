@@ -140,3 +140,38 @@ def test_e15_single_shuffle_and_topk(spark):
     plan = formatted_plan(events.e15_range_window(spark, SF_SMOKE))
     assert plan.count("Exchange (") == 1
     assert "TakeOrderedAndProject" in plan
+
+
+def test_doc_chunks_prunes_to_two_columns(spark):
+    """Chunking reads only (doc_id, text) from the 5-column documents
+    scan, and the explode fans out rows, not extra scans."""
+    from dask_distributed_vanilla_spark.operators.curation import doc_chunks
+
+    df = doc_chunks(spark, SF_SMOKE)
+    schemas = read_schemas(df)
+    assert "text" in schemas and "doc_id" in schemas
+    assert "payload" not in schemas and "lang" not in schemas
+    plan = formatted_plan(df)
+    assert plan.count("Location: InMemoryFileIndex") == 1  # one scan
+    assert "hashpartitioning" not in plan  # explode fans out, no shuffle
+
+
+def test_redact_pii_single_scan_no_shuffle(spark):
+    """Redaction is one pass: a single parquet scan and no Exchange
+    other than the output ordering's."""
+    from dask_distributed_vanilla_spark.operators.curation import redact_pii
+
+    df = redact_pii(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert plan.count("Location: InMemoryFileIndex") == 1  # one scan
+    # only the final global sort's rangepartitioning may shuffle
+    assert "hashpartitioning" not in plan
+
+
+def test_cluster_best_single_shuffle_for_selection(spark):
+    """The keep-best selection itself adds one hashpartitioning exchange
+    on cluster_id (both window functions share it)."""
+    from dask_distributed_vanilla_spark.operators.curation import cluster_best
+
+    plan = formatted_plan(cluster_best(spark, SF_SMOKE))
+    assert plan.count("hashpartitioning(cluster_id") <= 1
