@@ -1,14 +1,19 @@
 """Curation-pipeline operators: chunking, PII redaction, cluster
-representative selection.
+representative selection, repetition filtering, decontamination,
+stratified sampling, and token-budget packing.
 
-The three steps that turn scored/deduped documents into training-ready
-data: split long documents into overlapping token windows (context-window
-packing), mask emails/phones (cheap PII hygiene gate), and pick one
+The steps that turn scored/deduped documents into training-ready data:
+split long documents into overlapping token windows (context-window
+packing), mask emails/phones (cheap PII hygiene gate), pick one
 canonical document per near-duplicate cluster by quality score (the
-keep-one decision that consumes dedup_cc + text_quality). All three are
-built-in column expressions / window functions — zero Python in the hot
-path; chunking is an explode (row fan-out ~ tokens/stride), redaction a
-single-pass scan, keep-best one shuffle on cluster_id.
+keep-one decision that consumes dedup_cc + text_quality), score
+repetition (the Gopher-style "repetitive junk" gate), flag benchmark
+n-gram contamination, draw a deterministic per-language sample, and
+pack documents into fixed token budgets. Everything is built-in column
+expressions / window functions — zero Python in the hot path; chunking
+is an explode (row fan-out ~ tokens/stride), redaction/repetition are
+single-pass scans, keep-best one shuffle on cluster_id, decontamination
+a broadcast join against the (small) benchmark shingle set.
 """
 
 from __future__ import annotations
@@ -17,8 +22,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dask_distributed_vanilla_spark.catalog import load_table
-from dask_distributed_vanilla_spark.functions.rounding import round2_sql
-from dask_distributed_vanilla_spark.operators.dedup import _minhash_cte_chain, dedup_cc
+from dask_distributed_vanilla_spark.functions.rounding import round2, round2_sql
+from dask_distributed_vanilla_spark.operators.dedup import (
+    _minhash_cte_chain,
+    dedup_cc,
+    shingles_from_words,
+)
 from dask_distributed_vanilla_spark.operators.text import (
     STOPWORDS,
     _sql_count_in,
@@ -28,6 +37,17 @@ from dask_distributed_vanilla_spark.operators.text import (
 # token window / stride for chunking (25% overlap)
 CHUNK_TOKENS = 64
 CHUNK_STRIDE = 48
+
+# word-n-gram size for benchmark decontamination; the benchmark set is
+# the held-out "eval" slice of the corpus (one source here)
+DECON_NGRAM = 5
+DECON_BENCH_SOURCE = "src0"
+
+# per-language quota for the deterministic stratified sample
+STRAT_K = 10
+
+# context-window token budget for packing
+PACK_BUDGET = 2048
 
 # portable regexes (same semantics under Java regex and RE2)
 EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -164,14 +184,196 @@ FROM ranked WHERE rn = 1 ORDER BY cluster_id
 """
 
 
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of
+    tokens taken by the most frequent token, and the duplicate-bigram
+    fraction. Both are higher-order array functions over the one
+    materialized words array — a pure scan with NO shuffle (the per-doc
+    mode is a max-run over the sorted token array, not an
+    explode+groupBy), which is what makes this a free pre-filter at
+    100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    n_tokens = F.size("w")
+    # mode count == longest run of equal tokens in the sorted array
+    top_cnt = F.aggregate(
+        F.array_sort("w"),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    bg = shingles_from_words(F.col("w"), 2)
+    dup_bigram = F.when(
+        F.size(bg) >= 1, round2(F.lit(1.0) - F.size(F.array_distinct(bg)) / F.size(bg))
+    ).otherwise(F.lit(0.0))
+    return t.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        round2(top_cnt / n_tokens).alias("top_token_frac"),
+        dup_bigram.alias("dup_bigram_frac"),
+    ).orderBy("doc_id")
+
+
+DOC_REPETITION_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS tk FROM t),
+mode AS (SELECT doc_id, MAX(c) AS mx
+         FROM (SELECT doc_id, tk, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+         GROUP BY 1),
+bg AS (SELECT doc_id,
+              len(w) - 1 AS nbg,
+              len(list_distinct([w[i] || ' ' || w[i+1]
+                                 for i in generate_series(1, len(w) - 1)])) AS ndist
+       FROM t WHERE len(w) >= 2)
+SELECT t.doc_id,
+       len(t.w) AS n_tokens,
+       {round2_sql("mode.mx * 1.0 / len(t.w)")} AS top_token_frac,
+       CASE WHEN bg.nbg IS NULL THEN 0.0
+            ELSE {round2_sql("1.0 - bg.ndist * 1.0 / bg.nbg")} END AS dup_bigram_frac
+FROM t JOIN mode USING (doc_id) LEFT JOIN bg USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    {DECON_NGRAM}-gram with the held-out benchmark slice (source =
+    {DECON_BENCH_SOURCE}) — the overlap check every training set runs
+    against its eval suites. The benchmark shingle set is small by
+    construction, so it broadcasts; the corpus side is one scan +
+    explode, and the hit count per document is a map-side-combinable
+    aggregate. Returns contaminated docs with their distinct-hit
+    counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "source", F.split(F.col("text"), " ").alias("w"))
+    sh = t.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(shingles_from_words(F.col("w"), DECON_NGRAM))).alias(
+            "sh"
+        ),
+    )
+    bench = (
+        sh.where(F.col("source") == DECON_BENCH_SOURCE).select("sh").distinct()
+    )
+    return (
+        sh.where(F.col("source") != DECON_BENCH_SOURCE)
+        .join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .orderBy("doc_id")
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, source,
+              array_to_string(w[i : i + {DECON_NGRAM - 1}], ' ') AS sh
+       FROM t, unnest(generate_series(1, len(w) - {DECON_NGRAM - 1})) AS u(i)
+       WHERE len(w) >= {DECON_NGRAM}),
+bench AS (SELECT DISTINCT sh FROM sh WHERE source = '{DECON_BENCH_SOURCE}')
+SELECT s.doc_id, COUNT(*) AS n_hits
+FROM sh s JOIN bench USING (sh)
+WHERE s.source <> '{DECON_BENCH_SOURCE}'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: {STRAT_K} documents per language,
+    ranked by md5(doc_id) — a content-independent pseudo-random order
+    that every engine reproduces bit-identically (the language-balancing
+    draw of a multilingual training mix). One shuffle on lang; at scale
+    the rank is a top-k per group, not a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= STRAT_K)
+        .select("lang", "doc_id", F.col("rn").cast("long").alias("rn"))
+        .orderBy("lang", "rn")
+    )
+
+
+SAMPLE_STRATIFIED_SQL = f"""
+SELECT lang, doc_id, rn FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents)
+WHERE rn <= {STRAT_K} ORDER BY lang, rn
+"""
+
+
+def doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing: assign documents (per language, in doc_id
+    order) to consecutive {PACK_BUDGET}-token context windows by running
+    token count — each doc lands in the pack where its first token
+    falls. The running sum shares one (lang)-partitioned window with the
+    final per-pack rollup, so the whole operator is a single shuffle.
+    Returns per-pack document and token counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang", "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tok").over(w)
+    return (
+        t.withColumn(
+            "pack_id", ((cum - F.col("n_tok")) / F.lit(PACK_BUDGET)).cast("long")
+        )
+        .groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .orderBy("lang", "pack_id")
+    )
+
+
+DOC_PACK_SQL = f"""
+WITH t AS (SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+c AS (SELECT lang, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+SELECT lang, CAST((cum - n_tok) // {PACK_BUDGET} AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM c GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "doc_chunks": doc_chunks,
     "redact_pii": redact_pii,
     "cluster_best": cluster_best,
+    "doc_repetition": doc_repetition,
+    "decontaminate": decontaminate,
+    "sample_stratified": sample_stratified,
+    "doc_pack": doc_pack,
 }
 
 ORACLES = {
     "doc_chunks": DOC_CHUNKS_SQL,
     "redact_pii": REDACT_PII_SQL,
     "cluster_best": _cluster_best_sql(),
+    "doc_repetition": DOC_REPETITION_SQL,
+    "decontaminate": DECONTAMINATE_SQL,
+    "sample_stratified": SAMPLE_STRATIFIED_SQL,
+    "doc_pack": DOC_PACK_SQL,
 }

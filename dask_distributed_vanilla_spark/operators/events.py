@@ -425,6 +425,39 @@ FROM events ORDER BY event_id LIMIT 1000
 """
 
 
+HIST_STEP = 50
+HIST_BUCKETS = 10
+
+
+def e16_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bound value histogram per event type ({HIST_BUCKETS} buckets
+    of width {HIST_STEP}, overflow clamped to the last bucket) — the
+    distribution profile every monitoring rollup wants. Bucketing is
+    arithmetic on the scan (no per-row function dispatch), the aggregate
+    map-side combines, and the result is tiny — this is a single-shuffle
+    scan at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.floor(F.col("value") / HIST_STEP).cast("long"), F.lit(HIST_BUCKETS - 1)
+    )
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sv"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+E16_SQL = f"""
+SELECT event_type,
+       least(CAST(floor(value / {HIST_STEP}) AS BIGINT), {HIST_BUCKETS - 1}) AS bucket,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS sv
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "e1": e1,
     "e2": e2,
@@ -440,6 +473,7 @@ QUERIES = {
     "e13_pivot": e13_pivot,
     "e14_unpivot": e14_unpivot,
     "e15_range_window": e15_range_window,
+    "e16_histogram": e16_histogram,
 }
 ORACLES = {
     "e1": E1_SQL,
@@ -456,4 +490,5 @@ ORACLES = {
     "e13_pivot": E13_SQL,
     "e14_unpivot": E14_SQL,
     "e15_range_window": E15_SQL,
+    "e16_histogram": E16_SQL,
 }

@@ -41,10 +41,11 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # at exactly the 50th insertion-ordered key). Queries that have never
     # had an official driver row (Tier B, the streaming twins) therefore
     # go first; entries already green in CORRECTNESS_r02 fill the tail.
-    # priority: never-judged (Tier B, streaming), new this round
-    # (curation), changed this round (dedup: df ceiling + convergence),
+    # priority: never-judged (Tier B, streaming incl. stream_session,
+    # curation incl. the four round-3 additions, e10_approx/e16 in
+    # events), changed this round (dedup: df ceiling + convergence),
     # then the stable tail already green in CORRECTNESS_r02
-    mods = [tpch_full, events_stream, curation, dedup, tpch, events, asof, similarity, text, multimodal]
+    mods = [tpch_full, events_stream, curation, dedup, events, tpch, asof, similarity, text, multimodal]
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
     for mod in mods:

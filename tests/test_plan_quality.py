@@ -175,3 +175,45 @@ def test_cluster_best_single_shuffle_for_selection(spark):
 
     plan = formatted_plan(cluster_best(spark, SF_SMOKE))
     assert plan.count("hashpartitioning(cluster_id") <= 1
+
+
+def test_doc_repetition_zero_shuffle_scan(spark):
+    """Repetition scoring claim: the per-doc mode is a higher-order
+    function over the sorted token array, NOT an explode+groupBy — the
+    plan must contain no data shuffle at all (only the output sort)."""
+    from dask_distributed_vanilla_spark.operators.curation import doc_repetition
+
+    plan = formatted_plan(doc_repetition(spark, SF_SMOKE))
+    assert "hashpartitioning" not in plan
+    assert "Generate" not in plan  # no explode
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark shingle set is small by construction: the corpus
+    side must probe it with a broadcast join, never a shuffle join or a
+    nested-loop."""
+    from dask_distributed_vanilla_spark.operators.curation import decontaminate
+
+    df = decontaminate(spark, SF_SMOKE)
+    assert count_broadcast_joins(df) >= 1
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_doc_pack_single_lang_shuffle(spark):
+    """Running-sum window and per-pack rollup share one (lang) shuffle."""
+    from dask_distributed_vanilla_spark.operators.curation import doc_pack
+
+    plan = formatted_plan(doc_pack(spark, SF_SMOKE))
+    assert plan.count("hashpartitioning(lang") <= 1
+
+
+def test_e16_histogram_single_exchange(spark):
+    """Arithmetic bucketing on the scan + one partial->final aggregate."""
+    from dask_distributed_vanilla_spark.operators.events import e16_histogram
+
+    plan = formatted_plan(e16_histogram(spark, SF_SMOKE))
+    assert plan.count("Exchange (") <= 2  # agg exchange + output sort
+    assert "Join" not in plan
