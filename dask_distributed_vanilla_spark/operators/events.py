@@ -458,6 +458,71 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def e17_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function suite: per event type, users ranked by rounded
+    total value — row_number, rank, dense_rank, percent_rank, and
+    quartile (ntile) in one pass. Two window specs over the SAME
+    (event_type) partitioning so Catalyst reuses a single shuffle: the
+    tie-broken order (… , user_id) feeds the positional functions
+    (row_number/ntile, which need a total order to be deterministic),
+    the value-only order feeds the tie-aware ones (rank/dense_rank/
+    percent_rank, deterministic under ties by definition). Ranking on
+    the ROUNDED total keeps tie structure identical across engines."""
+    from dask_distributed_vanilla_spark.functions.rounding import round2
+
+    ev = load_table(spark, sf_dir, "events")
+    totals = ev.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 2).alias("total")
+    )
+    w_tb = Window.partitionBy("event_type").orderBy(F.desc("total"), "user_id")
+    w_tie = Window.partitionBy("event_type").orderBy(F.desc("total"))
+    return (
+        totals.select(
+            "event_type",
+            "user_id",
+            "total",
+            F.row_number().over(w_tb).cast("long").alias("rn"),
+            F.rank().over(w_tie).cast("long").alias("rnk"),
+            F.dense_rank().over(w_tie).cast("long").alias("drnk"),
+            round2(F.percent_rank().over(w_tie)).alias("pct"),
+            F.ntile(4).over(w_tb).cast("long").alias("quartile"),
+        )
+        .where(F.col("rn") <= 10)
+        .orderBy("event_type", "rn")
+    )
+
+
+E17_SQL = """
+WITH t AS (
+  SELECT event_type, user_id, ROUND(SUM(value),2) AS total
+  FROM events GROUP BY 1,2),
+r AS (
+  SELECT event_type, user_id, total,
+         ROW_NUMBER()  OVER (PARTITION BY event_type ORDER BY total DESC, user_id) AS rn,
+         RANK()        OVER (PARTITION BY event_type ORDER BY total DESC) AS rnk,
+         DENSE_RANK()  OVER (PARTITION BY event_type ORDER BY total DESC) AS drnk,
+         FLOOR((PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY total DESC)) * 100 + 0.5) / 100 AS pct,
+         NTILE(4)      OVER (PARTITION BY event_type ORDER BY total DESC, user_id) AS quartile
+  FROM t)
+SELECT * FROM r WHERE rn <= 10 ORDER BY event_type, rn
+"""
+
+
+def e18_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user estimate per event type — the sketch
+    twin of exact COUNT(DISTINCT): mergeable partial sketches instead of
+    a shuffle of every distinct key, which is the only viable shape for
+    high-cardinality distincts at 100 TB. Approximate by nature →
+    rows-only driver check; the relative-error bound vs the exact count
+    is pinned in pytest (test_scale_paths)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "e1": e1,
     "e2": e2,
@@ -474,6 +539,8 @@ QUERIES = {
     "e14_unpivot": e14_unpivot,
     "e15_range_window": e15_range_window,
     "e16_histogram": e16_histogram,
+    "e17_ranks": e17_ranks,
+    "e18_approx_distinct": e18_approx_distinct,
 }
 ORACLES = {
     "e1": E1_SQL,
@@ -491,4 +558,6 @@ ORACLES = {
     "e14_unpivot": E14_SQL,
     "e15_range_window": E15_SQL,
     "e16_histogram": E16_SQL,
+    "e17_ranks": E17_SQL,
+    "e18_approx_distinct": None,  # HLL sketch: rows-only; bound-tested in pytest
 }

@@ -295,14 +295,74 @@ def ivf_kmeans_search(
     )
 
 
+def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding aggregates: vector count, mean L2 norm, and
+    the norm of the element-wise centroid — the cluster-profile pass an
+    embedding pipeline runs after labeling (and the building block of
+    IVF coarse quantizers). Per-vector norms are JVM higher-order folds
+    on the scan; the centroid is posexplode → (label, dim) partial
+    means → per-label recombine, i.e. two map-side-combinable shuffles
+    whose width is |labels|·dim regardless of corpus size."""
+    from dask_distributed_vanilla_spark.functions.rounding import round2
+    from dask_distributed_vanilla_spark.functions.vector import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = (
+        emb.select("label", l2_norm(F.col("embedding")).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.avg("nrm").alias("avg_norm"),
+        )
+    )
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("cv"))
+        .groupBy("label")
+        .agg(F.sqrt(F.sum(F.col("cv") * F.col("cv"))).alias("centroid_norm"))
+    )
+    return (
+        norms.join(cent, "label")
+        .select(
+            "label",
+            "n_vecs",
+            round2(F.col("avg_norm")).alias("avg_norm"),
+            round2(F.col("centroid_norm")).alias("centroid_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+def _emb_centroids_sql() -> str:
+    from dask_distributed_vanilla_spark.functions.rounding import round2_sql
+
+    return f"""
+WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT label, COUNT(*) AS n_vecs,
+             AVG(sqrt(list_dot_product(v, v))) AS avg_norm
+      FROM e GROUP BY 1),
+x AS (SELECT label, i, v[i] AS xv
+      FROM e, unnest(generate_series(1, len(v))) AS u(i)),
+c AS (SELECT label, i, AVG(xv) AS cv FROM x GROUP BY 1, 2),
+cn AS (SELECT label, sqrt(SUM(cv * cv)) AS centroid_norm FROM c GROUP BY 1)
+SELECT n.label, n.n_vecs,
+       {round2_sql("n.avg_norm")} AS avg_norm,
+       {round2_sql("cn.centroid_norm")} AS centroid_norm
+FROM n JOIN cn USING (label) ORDER BY n.label
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "embedding_near_dup": embedding_near_dup,
+    "emb_centroids": emb_centroids,
 }
 
 ORACLES = {
     "ann_cosine_topk": ANN_COSINE_SQL,
     "ann_lsh_topk": _lsh_sql(),
     "embedding_near_dup": EMB_NEAR_DUP_SQL,
+    "emb_centroids": _emb_centroids_sql(),
 }

@@ -61,3 +61,27 @@ def test_dedup_cc_warns_when_not_converged(spark):
         issubclass(x.category, RuntimeWarning) and "converge" in str(x.message)
         for x in w
     )
+
+
+def test_e18_approx_distinct_error_bound(spark):
+    """HLL++ estimate per event type within the configured rsd (2%, use
+    5× slack for the small-sample regime) of the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from dask_distributed_vanilla_spark.catalog import load_table
+    from dask_distributed_vanilla_spark.operators.events import e18_approx_distinct
+
+    approx = {
+        r.event_type: r.approx_users
+        for r in e18_approx_distinct(spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(2, 0.10 * n), (et, approx[et], n)
