@@ -523,6 +523,50 @@ def e18_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e19_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join of daily click vs purchase activity per user-day —
+    the union-of-presence shape (users active on one side, the other, or
+    both) that neither left nor right join expresses. Both sides are
+    pre-aggregated to user-day BEFORE the join, so the full-outer is a
+    key-aligned sort-merge over two already-reduced inputs — the right
+    order of operations at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def side(kind: str, out: str):
+        return (
+            ev.where(F.col("event_type") == kind)
+            .groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    clicks = side("click", "n_clicks")
+    purchases = side("purchase", "n_purch")
+    return (
+        clicks.join(purchases, ["user_id", "day"], "full_outer")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("n_purch", F.lit(0)).alias("n_purch"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+E19_SQL = """
+WITH c AS (SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS n_clicks
+           FROM events WHERE event_type = 'click' GROUP BY 1,2),
+p AS (SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS n_purch
+      FROM events WHERE event_type = 'purchase' GROUP BY 1,2)
+SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+       COALESCE(c.day, p.day) AS day,
+       COALESCE(c.n_clicks, 0) AS n_clicks,
+       COALESCE(p.n_purch, 0) AS n_purch
+FROM c FULL OUTER JOIN p ON c.user_id = p.user_id AND c.day = p.day
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "e1": e1,
     "e2": e2,
@@ -541,6 +585,7 @@ QUERIES = {
     "e16_histogram": e16_histogram,
     "e17_ranks": e17_ranks,
     "e18_approx_distinct": e18_approx_distinct,
+    "e19_full_outer": e19_full_outer,
 }
 ORACLES = {
     "e1": E1_SQL,
@@ -560,4 +605,5 @@ ORACLES = {
     "e16_histogram": E16_SQL,
     "e17_ranks": E17_SQL,
     "e18_approx_distinct": None,  # HLL sketch: rows-only; bound-tested in pytest
+    "e19_full_outer": E19_SQL,
 }

@@ -296,12 +296,62 @@ FROM s GROUP BY user_id, sid ORDER BY user_id, s_start
 """
 
 
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged query: CUSTOM stateful operator via applyInPandasWithState
+    (streaming/stateful.py) — per-user session state folded in Python
+    across micro-batches, the Spark analog of the reference's
+    worker-held stateful consumers (`distributed/actor.py`). The fixture
+    replays as ONE availableNow micro-batch (single file); in-batch gap
+    jumps close all but each user's final session, and the trailing
+    no-data micro-batch advances the watermark past every timeout
+    timestamp, firing EventTimeTimeout for the rest — so the emitted
+    rows are exactly the COMPLETE session set, deterministic and
+    SQL-expressible. Event times are carried at full µs precision
+    through the state store; sums round with the portable half-up
+    rule on both engines."""
+    from dask_distributed_vanilla_spark.streaming.stateful import sessionize_stream
+
+    sink = f"stream_stateful_{uuid.uuid4().hex[:8]}"
+    with _stream_shuffle(spark, 4):
+        q = (
+            sessionize_stream(events_stream(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink).orderBy("user_id", "session_start")
+
+
+STREAM_STATEFUL_SQL = """
+WITH g AS (
+  SELECT *, CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > INTERVAL 30 MINUTE
+                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                 THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g),
+agg AS (
+  SELECT user_id, sid, MIN(ts) AS session_start, MAX(ts) AS session_end,
+         COUNT(*) AS n_events, FLOOR(SUM(value) * 100 + 0.5) / 100 AS sv
+  FROM s GROUP BY user_id, sid)
+SELECT user_id, session_start, session_end, n_events, sv
+FROM agg ORDER BY user_id, session_start
+"""
+
+
 QUERIES = {
     "stream_e1": stream_e1,
     "stream_sliding": stream_sliding,
     "stream_dedup": stream_dedup,
     "stream_join": stream_join,
     "stream_session": stream_session,
+    "stream_stateful": stream_stateful,
 }
 ORACLES = {
     "stream_e1": STREAM_E1_SQL,
@@ -309,4 +359,5 @@ ORACLES = {
     "stream_dedup": STREAM_DEDUP_SQL,
     "stream_join": STREAM_JOIN_SQL,
     "stream_session": STREAM_SESSION_SQL,
+    "stream_stateful": STREAM_STATEFUL_SQL,
 }

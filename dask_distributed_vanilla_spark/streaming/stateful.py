@@ -16,6 +16,7 @@ state size tracks active users, not history.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 from typing import Any
 
@@ -25,9 +26,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 SESSION_GAP_SECONDS = 30 * 60
+_GAP_US = SESSION_GAP_SECONDS * 1_000_000
 
 OUTPUT_SCHEMA = "user_id long, session_start timestamp, session_end timestamp, n_events long, sv double"
+# start/last are epoch MICROseconds — the fixture carries sub-second
+# event times, and second-truncated state would move session boundaries
 STATE_SCHEMA = "start long, last long, n long, sv double"
+
+
+def _round2(x: float) -> float:
+    """Engine-portable half-up 2-decimal rounding (functions/rounding.py
+    semantics; Python's round() is half-to-even and diverges on .xx5)."""
+    return math.floor(x * 100 + 0.5) / 100
 
 
 def _sessionize(
@@ -42,10 +52,10 @@ def _sessionize(
         yield pd.DataFrame(
             {
                 "user_id": [user_id],
-                "session_start": [pd.Timestamp(start, unit="s")],
-                "session_end": [pd.Timestamp(last, unit="s")],
+                "session_start": [pd.Timestamp(start, unit="us")],
+                "session_end": [pd.Timestamp(last, unit="us")],
                 "n_events": [n],
-                "sv": [sv],
+                "sv": [_round2(sv)],
             }
         )
         return
@@ -54,10 +64,10 @@ def _sessionize(
     closed: list[tuple[int, int, int, float]] = []
     cur = state.get if state.exists else None
     for ts_val, value in zip(rows["ts"], rows["value"]):
-        t = int(ts_val.timestamp())
+        t = ts_val.value // 1000  # pandas ns → epoch µs
         if cur is None:
             cur = (t, t, 1, float(value))
-        elif t - cur[1] > SESSION_GAP_SECONDS:
+        elif t - cur[1] > _GAP_US:
             closed.append(cur)
             cur = (t, t, 1, float(value))
         else:
@@ -68,10 +78,10 @@ def _sessionize(
         yield pd.DataFrame(
             {
                 "user_id": user_id,
-                "session_start": [pd.Timestamp(c[0], unit="s") for c in closed],
-                "session_end": [pd.Timestamp(c[1], unit="s") for c in closed],
+                "session_start": [pd.Timestamp(c[0], unit="us") for c in closed],
+                "session_end": [pd.Timestamp(c[1], unit="us") for c in closed],
                 "n_events": [c[2] for c in closed],
-                "sv": [round(c[3], 2) for c in closed],
+                "sv": [_round2(c[3]) for c in closed],
             }
         )
 
