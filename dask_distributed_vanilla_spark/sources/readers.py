@@ -138,3 +138,9 @@ def timeseries(
 
 
 LOADERS = {name: read_delimited for name in TPCH_SCHEMAS}
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (dd.read_orc analog) — same pushdown/pruning contract
+    as the parquet scan."""
+    return spark.read.orc(path)

@@ -50,3 +50,17 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.format("parquet").saveAsTable(table)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC columnar sink (dask's to_orc analog — same predicate-pushdown
+    and column-pruning story as parquet on the read side)."""
+    df.write.mode(mode).orc(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (dask's to_json analog). Row-oriented — the
+    interchange format, not the analytics format: no column pruning or
+    min/max pushdown on re-read, so it terminates pipelines rather than
+    feeding them."""
+    df.write.mode(mode).json(path)

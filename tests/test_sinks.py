@@ -66,3 +66,34 @@ def test_plain_parquet_roundtrip(spark, tmp_path):
     path = str(tmp_path / "nation_out")
     writers.write_parquet(n, path)
     assert spark.read.parquet(path).count() == 25
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC round-trip preserves values, and a filtered re-read pushes the
+    predicate into the ORC scan (same contract as parquet)."""
+    from dask_distributed_vanilla_spark.sources.readers import read_orc
+    from dask_distributed_vanilla_spark.sources.writers import write_orc
+
+    src = load_table(spark, SF_SMOKE, "nation")
+    write_orc(src, str(tmp_path / "nation_orc"))
+    back = read_orc(spark, str(tmp_path / "nation_orc"))
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    plan = back.where(back.n_regionkey == 1)._jdf.queryExecution().executedPlan().toString()
+    assert "n_regionkey" in plan
+
+
+def test_json_sink_roundtrip(spark, tmp_path):
+    """JSON-lines round-trip with an explicit schema on re-read."""
+    from dask_distributed_vanilla_spark.sources.readers import read_json
+    from dask_distributed_vanilla_spark.sources.writers import write_json
+
+    src = load_table(spark, SF_SMOKE, "region")
+    write_json(src, str(tmp_path / "region_json"))
+    back = read_json(
+        spark,
+        str(tmp_path / "region_json"),
+        schema=src.schema.simpleString()[7:-1].replace(":", " "),
+    )
+    assert sorted(map(tuple, back.select(*src.columns).collect())) == sorted(
+        map(tuple, src.collect())
+    )
