@@ -419,6 +419,49 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup: duplicate groups over the token-window chunks
+    (the paragraph-granularity pass that catches boilerplate shared by
+    otherwise-distinct documents). Composes doc_chunks → md5 digest →
+    group, keeping the lexicographically first (doc_id, chunk_idx); only
+    32-byte digests shuffle, never chunk text. Returns groups with >1
+    copy."""
+    chunks = doc_chunks(spark, sf_dir)
+    return (
+        chunks.groupBy(F.md5(F.col("chunk_text")).alias("chunk_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(F.struct("doc_id", "chunk_idx")).alias("keep"),
+        )
+        .where(F.col("n_copies") > 1)
+        .select(
+            "chunk_hash",
+            "n_copies",
+            F.col("keep.doc_id").alias("keep_doc_id"),
+            F.col("keep.chunk_idx").alias("keep_chunk_idx"),
+        )
+        .orderBy("chunk_hash")
+    )
+
+
+CHUNK_DEDUP_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+s AS (SELECT doc_id, w,
+             unnest(generate_series(0, greatest(len(w) - 1, 0), {CHUNK_STRIDE})) AS start
+      FROM t),
+chunks AS (
+  SELECT doc_id,
+         start // {CHUNK_STRIDE} AS chunk_idx,
+         array_to_string(w[start + 1 : start + {CHUNK_TOKENS}], ' ') AS chunk_text
+  FROM s)
+SELECT md5(chunk_text) AS chunk_hash,
+       COUNT(*) AS n_copies,
+       (MIN(struct_pack(doc_id := doc_id, chunk_idx := chunk_idx))).doc_id AS keep_doc_id,
+       (MIN(struct_pack(doc_id := doc_id, chunk_idx := chunk_idx))).chunk_idx AS keep_chunk_idx
+FROM chunks GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "doc_chunks": doc_chunks,
     "redact_pii": redact_pii,
@@ -428,6 +471,7 @@ QUERIES = {
     "sample_stratified": sample_stratified,
     "doc_pack": doc_pack,
     "curation_report": curation_report,
+    "chunk_dedup": chunk_dedup,
 }
 
 ORACLES = {
@@ -439,4 +483,5 @@ ORACLES = {
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "doc_pack": DOC_PACK_SQL,
     "curation_report": _curation_report_sql(),
+    "chunk_dedup": CHUNK_DEDUP_SQL,
 }
