@@ -567,7 +567,72 @@ ORDER BY 1, 2
 """
 
 
+def e20_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion: users whose first view precedes their
+    first click precedes their first purchase — the event-sequence
+    analysis every product-analytics stack runs. One conditional
+    aggregation per user (min ts per step, map-side combinable), then a
+    row-level ordering predicate; no self-joins, no window state — the
+    funnel is O(users) after one shuffle at any scale. Reports per-step
+    user counts and strictly-ordered conversions."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(kind: str):
+        return F.min(F.when(F.col("event_type") == kind, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        # when/otherwise (not a bare boolean cast): a NULL comparison must
+        # contribute 0 exactly like the oracle's CASE, including the
+        # all-NULL group where SUM of skipped NULLs would return NULL
+        F.sum(
+            F.when(F.col("t_view") < F.col("t_click"), F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_view_click"),
+        F.sum(
+            F.when(
+                (F.col("t_view") < F.col("t_click"))
+                & (F.col("t_click") < F.col("t_purchase")),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_full_funnel"),
+    )
+
+
+E20_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(ts) FILTER (event_type = 'view') AS t_view,
+         MIN(ts) FILTER (event_type = 'click') AS t_click,
+         MIN(ts) FILTER (event_type = 'purchase') AS t_purchase
+  FROM events GROUP BY 1)
+SELECT COUNT(*) AS n_users,
+       COUNT(t_view) AS n_view,
+       CAST(SUM(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+       CAST(SUM(CASE WHEN t_view < t_click AND t_click < t_purchase
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+FROM per_user
+"""
+
+
+# never-officially-judged entries lead so they sit inside the driver's
+# 50-entry correctness window (registry.py ordering contract)
 QUERIES = {
+    "e16_histogram": e16_histogram,
+    "e17_ranks": e17_ranks,
+    "e18_approx_distinct": e18_approx_distinct,
+    "e19_full_outer": e19_full_outer,
+    "e20_funnel": e20_funnel,
+    "e10_percentiles_approx": e10_percentiles_approx,
     "e1": e1,
     "e2": e2,
     "e3": e3,
@@ -577,15 +642,10 @@ QUERIES = {
     "e7_setops": e7_setops,
     "e8_rollup": e8_rollup,
     "e10_percentiles": e10_percentiles,
-    "e10_percentiles_approx": e10_percentiles_approx,
     "e11_json": e11_json,
     "e13_pivot": e13_pivot,
     "e14_unpivot": e14_unpivot,
     "e15_range_window": e15_range_window,
-    "e16_histogram": e16_histogram,
-    "e17_ranks": e17_ranks,
-    "e18_approx_distinct": e18_approx_distinct,
-    "e19_full_outer": e19_full_outer,
 }
 ORACLES = {
     "e1": E1_SQL,
@@ -606,4 +666,5 @@ ORACLES = {
     "e17_ranks": E17_SQL,
     "e18_approx_distinct": None,  # HLL sketch: rows-only; bound-tested in pytest
     "e19_full_outer": E19_SQL,
+    "e20_funnel": E20_SQL,
 }
