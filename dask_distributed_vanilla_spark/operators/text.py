@@ -279,7 +279,100 @@ FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
 """
 
 
+# BM25 parameters (standard Robertson defaults) and query-set size
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = 10
+BM25_TOP_DOCS = 5
+
+
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scores: top-{BM25_TOP_DOCS} documents for each of
+    the corpus' {BM25_TERMS} most frequent non-stopword terms — the
+    relevance-scoring pass behind retrieval-based curation (and the
+    lexical half of hybrid search). Same all-aggregate shape as TF-IDF
+    (tf/df groupBys, broadcast corpus stats); the query-term set is a
+    tiny broadcast semi-join, and ranking happens on the ROUNDED score so
+    ties and ordering are engine-portable (ln() differs in the last ulp
+    across engines)."""
+    from pyspark.sql import Window
+
+    t = _with_words(load_table(spark, sf_dir, "documents"))
+    tok = t.select("doc_id", F.explode("w").alias("term"))
+    ntok = t.select("doc_id", F.size("w").alias("n_tok"))
+    stats = t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size("w")).alias("avgdl"),
+    )
+    top_terms = (
+        tok.where(~F.col("term").isin(*STOPWORDS))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("total"))
+        .orderBy(F.desc("total"), "term")
+        .limit(BM25_TERMS)
+        .select("term")
+    )
+    tf = (
+        tok.join(F.broadcast(top_terms), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("n_tok") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(ntok, "doc_id")
+        .join(df, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "doc_id",
+            round2(idf * F.col("tf") * (BM25_K1 + 1.0) / denom).alias("bm25"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("bm25"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= BM25_TOP_DOCS)
+        .select("term", "rank", "doc_id", "bm25")
+        .orderBy("term", "rank")
+    )
+
+
+TEXT_BM25_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tok AS (SELECT doc_id, UNNEST(w) AS term FROM t),
+ntok AS (SELECT doc_id, len(w) AS n_tok FROM t),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(len(w)) AS avgdl FROM t),
+top_terms AS (
+  SELECT term FROM tok
+  WHERE term NOT IN {STOPWORDS!r}
+  GROUP BY 1 ORDER BY COUNT(*) DESC, term LIMIT {BM25_TERMS}),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM top_terms) GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.term, tf.doc_id,
+         {round2_sql(
+             "ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)"
+             f" * tf.tf * ({BM25_K1} + 1.0)"
+             f" / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * ntok.n_tok / stats.avgdl))"
+         )} AS bm25
+  FROM tf JOIN ntok USING (doc_id) JOIN df USING (term) CROSS JOIN stats),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY term ORDER BY bm25 DESC, doc_id) AS rank
+  FROM scored)
+SELECT term, CAST(rank AS INT) AS rank, doc_id, bm25
+FROM ranked WHERE rank <= {BM25_TOP_DOCS} ORDER BY term, rank
+"""
+
+
 QUERIES = {
+    "text_bm25": text_bm25,
     "text_stats": text_stats,
     "text_quality": text_quality,
     "text_langid": text_langid,
@@ -290,6 +383,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_bm25": TEXT_BM25_SQL,
     "text_stats": TEXT_STATS_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_langid": _langid_sql(),
