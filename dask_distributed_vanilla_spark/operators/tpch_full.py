@@ -452,6 +452,118 @@ ORDER BY revenue DESC, c_custkey LIMIT 20
 """
 
 
+# --- Q13 full (o_comment filter) ------------------------------------------
+def b13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query13 `queries.py:542-553` at full fidelity: orders whose
+    o_comment matches %special%requests% are excluded from the per-customer
+    count (the reduced a13 cannot express this — no o_comment column).
+    Left join keeps zero-order customers as c_count=0."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        ~F.col("o_comment").like("%special%requests%")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+B13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders_x
+        ON c_custkey = o_custkey AND o_comment NOT LIKE '%special%requests%'
+      GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --- Q15 full (top-revenue supplier with address/phone) --------------------
+def b15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query15 `queries.py:569-580` at full fidelity (s_address/s_phone
+    in the output — the reference returns an undefined ``revSup``,
+    `queries.py:580`, a bug not reproduced). Revenue view computed once,
+    scalar max broadcast back against it."""
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= ts("1996-01-01")) & (F.col("l_shipdate") < ts("1996-04-01"))
+    )
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .where(F.col("total_revenue") == F.col("max_revenue"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", "s_address", "s_phone",
+            F.round("total_revenue", 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_B15_REVENUE = """
+  SELECT l_suppkey AS supplier_no,
+         SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY 1
+"""
+
+# tierb_sql() prepends the shared derivation WITH-block, so the revenue
+# view is inlined as subqueries rather than a second (illegal) WITH.
+B15_SQL = f"""
+SELECT s_suppkey, s_name, s_address, s_phone,
+       ROUND(total_revenue, 2) AS total_revenue
+FROM supplier_x JOIN ({_B15_REVENUE}) revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM ({_B15_REVENUE}) r2)
+ORDER BY s_suppkey
+"""
+
+
+# --- Q17 full (container-restricted small-quantity revenue) ----------------
+def b17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query17 `queries.py:613-631` at full fidelity: Brand#23 AND
+    p_container='MED BOX' (the reduced a17 has no container column).
+    Correlated AVG decorrelated to a per-part aggregate joined back; the
+    part filter is broadcast into the lineitem semi-join, and the per-part
+    average over the semi-joined rows equals the unrestricted correlated
+    average because the filter touches only part attributes."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .where((F.col("p_brand") == "Brand#23") & (F.col("p_container") == "MED BOX"))
+        .select("p_partkey")
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    lp = l.join(F.broadcast(p), l.l_partkey == F.col("p_partkey"), "left_semi")
+    avg_q = lp.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (0.2 * F.avg("l_quantity")).alias("q_threshold")
+    )
+    return (
+        lp.join(avg_q, F.col("l_partkey") == F.col("a_partkey"))
+        .where(F.col("l_quantity") < F.col("q_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+B17_SQL = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part_x ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23' AND p_container = 'MED BOX'
+  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = part_x.p_partkey)
+"""
+
+
 # --- Q19 full (containers + shipmode + shipinstruct) ----------------------
 def b19(spark: SparkSession, sf_dir: str) -> DataFrame:
     """query19 `queries.py:651-687` at full fidelity (container lists,
@@ -547,7 +659,10 @@ QUERIES = {
     "b10": b10,
     "b11": b11,
     "b12": b12,
+    "b13": b13,
+    "b15": b15,
     "b16": b16,
+    "b17": b17,
     "b19": b19,
     "b20": b20,
     "b21": b21,
@@ -563,7 +678,10 @@ ORACLES = {
         "b10": B10_SQL,
         "b11": B11_SQL,
         "b12": B12_SQL,
+        "b13": B13_SQL,
+        "b15": B15_SQL,
         "b16": B16_SQL,
+        "b17": B17_SQL,
         "b19": B19_SQL,
         "b20": B20_SQL,
         "b21": B21_SQL,
