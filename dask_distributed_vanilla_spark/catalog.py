@@ -36,14 +36,21 @@ TINY_DIMS = ("region", "nation")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan for one table of the star schema.
 
-    `events.ts` is parquet TIMESTAMP(NANOS); with
-    `spark.sql.legacy.parquet.nanosAsLong` it scans as int64 nanoseconds
-    and is converted here to a microsecond timestamp (identical to what
-    DuckDB's µs TIMESTAMP sees).
+    `events.ts` is parquet TIMESTAMP(NANOS). Depending on the Spark
+    build/conf it scans either as int64 nanoseconds (under
+    `spark.sql.legacy.parquet.nanosAsLong`) or as TIMESTAMP_NTZ; both are
+    normalized here to a session-UTC microsecond TIMESTAMP (identical to
+    what DuckDB's µs TIMESTAMP sees, and accepted by `unix_micros` /
+    time-window functions that reject NTZ).
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # session tz is UTC, so the wall-clock reading is unchanged
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -37,8 +37,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events fixture as a file-replay stream with event-time ts."""
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = spark.readStream.schema(raw_schema).parquet(_as_stream_dir(sf_dir))
-    if dict(stream.dtypes).get("ts") == "bigint":  # TIMESTAMP(NANOS) fixture
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":  # TIMESTAMP(NANOS) fixture under nanosAsLong
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":  # same fixture on builds that scan NTZ
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
