@@ -651,18 +651,332 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# --- Q1 spec form (DELTA=90 cutoff) ---------------------------------------
+def b1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query1 `queries.py:11-97` in TPC-H spec form: the reference pins
+    the cutoff to `< 1998-10-01` (Snowflake's DELTA=90 shortcut noted in
+    its comment, `queries.py:24-27`); here the spec arithmetic
+    `l_shipdate <= DATE '1998-12-01' - 90 days` = 1998-09-02 is used, so
+    b1 and a1 together cover both parameterizations. Same single-scan
+    partial+final hash-agg plan as a1."""
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.where(F.col("l_shipdate") <= ts("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+B1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity),2) AS sum_qty,
+       ROUND(SUM(l_extendedprice),2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+       ROUND(AVG(l_quantity),2) AS avg_qty,
+       ROUND(AVG(l_extendedprice),2) AS avg_price,
+       ROUND(AVG(l_discount),2) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY 1,2 ORDER BY 1,2
+"""
+
+
+# --- Q5 full (second region/year parameterization) -------------------------
+def b5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query5 `queries.py:241-276` over EUROPE/1997 (a5 covers
+    ASIA/1996; the reference's 1994 window is empty on the synthetic date
+    span). The reference joins customer twice — once on o_custkey, once
+    on s_nationkey=c_nationkey (`queries.py:262-267`) — instead of
+    constraining the SAME customer row; the standard single-customer
+    `c_nationkey = s_nationkey` semantics are declared (reference bugs
+    are not reproduced, SURVEY.md §2.12 Tier B note)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= ts("1997-01-01")) & (F.col("o_orderdate") < ts("1998-01-01"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, (F.col("l_suppkey") == s.s_suppkey) & (F.col("c_nationkey") == s.s_nationkey))
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+B5_SQL = """
+SELECT n_name, ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey=o_custkey
+JOIN lineitem ON l_orderkey=o_orderkey
+JOIN supplier ON l_suppkey=s_suppkey AND c_nationkey=s_nationkey
+JOIN nation   ON s_nationkey=n_nationkey
+JOIN region   ON n_regionkey=r_regionkey
+WHERE r_name='EUROPE'
+  AND o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+GROUP BY 1 ORDER BY revenue DESC, n_name
+"""
+
+
+# --- Q6 full (second year window) ------------------------------------------
+def b6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query6 `queries.py:280-327` over the 1997 window (a6 covers 1996;
+    the reference's validation DATE=1994-01-01 precedes the synthetic
+    span). Pure scan+filter+scalar-agg: no join, no shuffle beyond the
+    single partial→final exchange."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= ts("1997-01-01"))
+            & (F.col("l_shipdate") < ts("1998-01-01"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+B6_SQL = """
+SELECT ROUND(SUM(l_extendedprice*l_discount),2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+# --- Q7 full (second nation pair) ------------------------------------------
+def b7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query7 `queries.py:329-382` for the NATION_3/NATION_4 pair (a7
+    covers NATION_1/NATION_2; FRANCE/GERMANY don't exist in the synthetic
+    nation names). The reference derives l_year by string-slicing
+    `l_shipdate.str[:4]` (`queries.py:373`); EXTRACT(YEAR) is declared."""
+    s = _t(spark, sf_dir, "supplier")
+    l = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between(ts("1995-01-01"), ts("1996-12-31"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_nationkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_4")
+    ) | ((F.col("supp_nation") == "NATION_4") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        s.join(l, s.s_suppkey == l.l_suppkey)
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1_nationkey"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_nationkey"))
+        .where(pair)
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+B7_SQL = """
+SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume),2) AS revenue
+FROM (SELECT n1.n_name supp_nation, n2.n_name cust_nation,
+             EXTRACT(YEAR FROM l_shipdate) l_year,
+             l_extendedprice*(1-l_discount) volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey=l_suppkey
+      JOIN orders   ON o_orderkey=l_orderkey
+      JOIN customer ON c_custkey=o_custkey
+      JOIN nation n1 ON s_nationkey=n1.n_nationkey
+      JOIN nation n2 ON c_nationkey=n2.n_nationkey
+      WHERE ((n1.n_name='NATION_3' AND n2.n_name='NATION_4')
+          OR (n1.n_name='NATION_4' AND n2.n_name='NATION_3'))
+        AND l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31')
+GROUP BY 1,2,3 ORDER BY 1,2,3
+"""
+
+
+# --- Q8 full (second region/type/nation parameterization) ------------------
+def b8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query8 `queries.py:385-433` over ASIA/STANDARD/NATION_5 (a8
+    covers AMERICA/ECONOMY/NATION_3). The reference zeroes non-target
+    volumes through a pandas chained assignment that silently no-ops
+    (`queries.py:429`); the declared CASE semantics are used instead."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").between(ts("1995-01-01"), ts("1996-12-31"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_nationkey"), F.col("n_regionkey").alias("n1_regionkey")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_nationkey"), F.col("n_name").alias("nation")
+    )
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        p.join(l, p.p_partkey == l.l_partkey)
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, F.col("c_nationkey") == F.col("n1_nationkey"))
+        .join(r, F.col("n1_regionkey") == F.col("r_regionkey"))
+        .join(n2, F.col("s_nationkey") == F.col("n2_nationkey"))
+        .select(F.year("o_orderdate").cast("long").alias("o_year"), vol.alias("volume"), "nation")
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                2,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+B8_SQL = """
+SELECT o_year,
+       ROUND(SUM(CASE WHEN nation='NATION_5' THEN volume ELSE 0 END)/SUM(volume),2) AS mkt_share
+FROM (SELECT EXTRACT(YEAR FROM o_orderdate) o_year,
+             l_extendedprice*(1-l_discount) volume,
+             n2.n_name nation
+      FROM part
+      JOIN lineitem ON p_partkey=l_partkey
+      JOIN supplier ON s_suppkey=l_suppkey
+      JOIN orders   ON l_orderkey=o_orderkey
+      JOIN customer ON o_custkey=c_custkey
+      JOIN nation n1 ON c_nationkey=n1.n_nationkey
+      JOIN region   ON n1.n_regionkey=r_regionkey
+      JOIN nation n2 ON s_nationkey=n2.n_nationkey
+      WHERE r_name='ASIA'
+        AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+        AND p_type='STANDARD')
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- Q14 full (second month window) ----------------------------------------
+def b14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query14 `queries.py:556-566` over 1996-03 (a14 covers 1995-09).
+    The reference zeroes non-PROMO revenue via a chained-assignment
+    no-op (`queries.py:564`); the CASE ratio is declared."""
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= ts("1996-03-01")) & (F.col("l_shipdate") < ts("1996-04-01"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0))
+                / F.sum(rev),
+                2,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+B14_SQL = """
+SELECT ROUND(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice*(1-l_discount) ELSE 0 END)
+             / SUM(l_extendedprice*(1-l_discount)), 2) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey=p_partkey
+WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-04-01'
+"""
+
+
+# --- Q18 full (lower quantity threshold) -----------------------------------
+def b18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query18 `queries.py:634-648` with threshold 250 (a18 covers the
+    spec's 300). Same semi-join-before-fact-join shape: the HAVING
+    aggregate reduces lineitem to qualifying orderkeys before orders or
+    customer are touched, so the two fact joins see only the big-order
+    subset at any scale."""
+    l = _t(spark, sf_dir, "lineitem")
+    big_orders = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+        .select("l_orderkey")
+    )
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").join(
+        big_orders, F.col("o_orderkey") == big_orders.l_orderkey, "left_semi"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("o_orderkey") == l.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+B18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       SUM(l_quantity) AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey=o_custkey
+JOIN lineitem ON o_orderkey=l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+GROUP BY 1,2,3,4,5
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+
 QUERIES = {
+    "b1": b1,
     "b2": b2,
     "b3": b3,
     "b4": b4,
+    "b5": b5,
+    "b6": b6,
+    "b7": b7,
+    "b8": b8,
     "b9": b9,
     "b10": b10,
     "b11": b11,
     "b12": b12,
     "b13": b13,
+    "b14": b14,
     "b15": b15,
     "b16": b16,
     "b17": b17,
+    "b18": b18,
     "b19": b19,
     "b20": b20,
     "b21": b21,
@@ -671,17 +985,24 @@ QUERIES = {
 ORACLES = {
     name: tierb_sql(sql)
     for name, sql in {
+        "b1": B1_SQL,
         "b2": B2_SQL,
         "b3": B3_SQL,
         "b4": B4_SQL,
+        "b5": B5_SQL,
+        "b6": B6_SQL,
+        "b7": B7_SQL,
+        "b8": B8_SQL,
         "b9": B9_SQL,
         "b10": B10_SQL,
         "b11": B11_SQL,
         "b12": B12_SQL,
         "b13": B13_SQL,
+        "b14": B14_SQL,
         "b15": B15_SQL,
         "b16": B16_SQL,
         "b17": B17_SQL,
+        "b18": B18_SQL,
         "b19": B19_SQL,
         "b20": B20_SQL,
         "b21": B21_SQL,
