@@ -98,6 +98,28 @@ def test_b2_partsupp_derivation_is_broadcast_shaped(spark):
     assert "CartesianProduct" not in plan  # both cross joins broadcast
 
 
+def test_b18_semi_join_then_topk(spark):
+    """b18 reduces lineitem to qualifying orderkeys via a HAVING
+    aggregate before touching orders/customer, and the trailing
+    orderBy+limit stays TakeOrderedAndProject (no global sort)."""
+    from dask_distributed_vanilla_spark.operators import tpch_full
+
+    plan = formatted_plan(tpch_full.b18(spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_b5_b7_b8_no_cartesian(spark):
+    """The three new multi-join Tier B parameterizations must plan as
+    equi-joins throughout — a nested-loop anywhere is a scale bug."""
+    from dask_distributed_vanilla_spark.operators import tpch_full
+
+    for fn in (tpch_full.b5, tpch_full.b7, tpch_full.b8):
+        plan = formatted_plan(fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_tfidf_single_token_explode(spark):
     """text_tfidf reads documents and explodes tokens; the doc scan must
     prune to (doc_id, text) only."""
