@@ -449,41 +449,56 @@ def dedup_cc(spark: SparkSession, sf_dir: str, max_iter: int = 10) -> DataFrame:
     near-dup graphs).
     """
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    # Size the iteration's shuffles to the measured graph, not the batch
+    # default: every round is (join + groupBy + checkpoint + probe) and
+    # pays per-task scheduling cost × partitions × rounds. pairs is
+    # already materialized, so the count is a cached-block scan. One
+    # partition per ~500k edges (floor 4) keeps fixture-scale rounds at
+    # 4 tasks and grows into the thousands at 100 TB edge volumes.
+    n_edges = pairs.count()
+    loop_parts = max(4, min(2048, n_edges // 500_000 + 4))
     edges = pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst")
     labels = (
         load_table(spark, sf_dir, "documents")
         .select(F.col("doc_id").alias("node"), F.col("doc_id").alias("label"))
+        .repartition(loop_parts, "node")
         .localCheckpoint()
     )
     changed = 1
-    for _ in range(max_iter):
-        prop = (
-            edges.join(labels.withColumnRenamed("node", "src"), "src")
-            .groupBy("dst")
-            .agg(F.min("label").alias("nlabel"))
-            .withColumnRenamed("dst", "node")
-        )
-        # Carry a changed flag in the same propagation job: the eager
-        # localCheckpoint materializes (node, label, chg) once, so the
-        # convergence check below is an early-exit scan of cached blocks,
-        # not the extra join + full count job per round it used to be.
-        new_labels = (
-            labels.join(prop, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                ).alias("label"),
-                (F.coalesce(F.col("nlabel"), F.col("label")) < F.col("label")).alias(
-                    "chg"
-                ),
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        for _ in range(max_iter):
+            prop = (
+                edges.join(labels.withColumnRenamed("node", "src"), "src")
+                .groupBy("dst")
+                .agg(F.min("label").alias("nlabel"))
+                .withColumnRenamed("dst", "node")
             )
-            .localCheckpoint()
-        )
-        changed = new_labels.where(F.col("chg")).limit(1).count()
-        labels = new_labels.drop("chg")
-        if changed == 0:
-            break
+            # Carry a changed flag in the same propagation job: the eager
+            # localCheckpoint materializes (node, label, chg) once, so the
+            # convergence check below is an early-exit scan of cached
+            # blocks, not the extra join + full count job per round it
+            # used to be.
+            new_labels = (
+                labels.join(prop, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                    ).alias("label"),
+                    (F.coalesce(F.col("nlabel"), F.col("label")) < F.col("label")).alias(
+                        "chg"
+                    ),
+                )
+                .localCheckpoint()
+            )
+            changed = new_labels.where(F.col("chg")).limit(1).count()
+            labels = new_labels.drop("chg")
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     if changed != 0:
         warnings.warn(
             f"dedup_cc: min-label propagation did not converge within "
