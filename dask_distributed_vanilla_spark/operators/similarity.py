@@ -295,6 +295,74 @@ def ivf_kmeans_search(
     )
 
 
+SEMDEDUP_TAU = 0.35
+
+
+def semdedup(spark: SparkSession, sf_dir: str, tau: float = SEMDEDUP_TAU) -> DataFrame:
+    """SemDeDup-style semantic dedup: within each cluster (the `label`
+    column stands in for the coarse-quantizer assignment), a vector is
+    dropped when a lower-id vector of the same cluster sits within
+    cosine >= tau; survivors are the kept corpus. The pairwise pass is
+    scoped to a cluster cell — the SemDeDup contract that makes
+    embedding dedup tractable: the quadratic term is (cell size)^2, and
+    at 100 TB the quantizer's k is raised to hold cells at ~10^3-10^4
+    vectors, so the equi-join on `label` shuffles each cell to one task
+    and no global pairwise product ever forms. Dot products are JVM
+    higher-order folds; norms are computed once per vector and carried
+    as a scalar column (cos >= tau rewritten multiplicatively so no
+    per-pair normalization happens); the keep-decision is a left-anti
+    join.
+    """
+    from dask_distributed_vanilla_spark.functions.vector import dot, l2_norm
+
+    base = load_table(spark, sf_dir, "embeddings")
+    # The norm is carried as a scalar column so each pair evaluates one
+    # 2·dim fold (the dot) plus two multiplies — localCheckpoint stops
+    # Catalyst's projection collapse from inlining the norm expression
+    # into the pair-level predicate (where it would re-fold per pair).
+    # The 100 TB analog is materializing the normalized corpus once
+    # before the dedup pass — standard practice for embedding pipelines.
+    e = (
+        base.select("vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("nrm"))
+        .localCheckpoint()
+    )
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("lbl"),
+        F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("lbl"),
+        F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
+    )
+    dominated = (
+        a.join(b, "lbl")
+        .where(F.col("id_b") < F.col("id_a"))
+        .where(dot(F.col("ea"), F.col("eb")) >= tau * F.col("na") * F.col("nb"))
+        .select(F.col("id_a").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        e.join(dominated, "vec_id", "left_anti")
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )
+
+
+def _semdedup_sql(tau: float = SEMDEDUP_TAU) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT x.vec_id, x.label
+FROM e x
+WHERE NOT EXISTS (
+  SELECT 1 FROM e y
+  WHERE y.label = x.label AND y.vec_id < x.vec_id
+    AND list_dot_product(x.v, y.v)
+        / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
+        >= {tau})
+ORDER BY x.vec_id
+"""
+
+
 def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding aggregates: vector count, mean L2 norm, and
     the norm of the element-wise centroid — the cluster-profile pass an
@@ -358,6 +426,7 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "embedding_near_dup": embedding_near_dup,
     "emb_centroids": emb_centroids,
+    "semdedup": semdedup,
 }
 
 ORACLES = {
@@ -365,4 +434,5 @@ ORACLES = {
     "ann_lsh_topk": _lsh_sql(),
     "embedding_near_dup": EMB_NEAR_DUP_SQL,
     "emb_centroids": _emb_centroids_sql(),
+    "semdedup": _semdedup_sql(),
 }

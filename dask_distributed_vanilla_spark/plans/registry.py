@@ -50,11 +50,31 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
         queries.update(mod.QUERIES)
         oracles.update({k: v for k, v in mod.ORACLES.items() if v is not None})
     # Names with an official driver-green row in CORRECTNESS_r02.json —
-    # these fill the tail of the ordering; everything newer goes first.
-    queries = dict(
-        sorted(queries.items(), key=lambda kv: kv[0] in _DRIVER_GREEN_R02)
-    )
+    # these fill the tail of the ordering; everything newer goes first,
+    # and within the green tail the queries whose code changed since
+    # round 2 (the dedup family's shuffle sizing / df ceiling, the
+    # events-scan normalization exercised by stream_e1) come before the
+    # untouched ones so they are re-judged inside the 50-entry window.
+    def _rank(name: str) -> tuple[int, int]:
+        if name not in _DRIVER_GREEN_R02:
+            return (0, 0)
+        try:
+            return (1, _RECHECK_FIRST.index(name))
+        except ValueError:
+            return (1, len(_RECHECK_FIRST))
+
+    queries = dict(sorted(queries.items(), key=lambda kv: _rank(kv[0])))
     return queries, oracles
+
+
+_RECHECK_FIRST = (
+    "dedup_cc",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_exact",
+    "stream_e1",
+)
 
 
 # Verbatim key set of CORRECTNESS_r02.json (all green: rows+schema+hash).
