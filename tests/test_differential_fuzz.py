@@ -118,6 +118,55 @@ def spark_fuzz(spark):
     return spark
 
 
+O_PREDS = [
+    "o_totalprice > 100000",
+    "o_totalprice <= 250000",
+    "o_orderpriority IN ('1-URGENT', '2-HIGH')",
+    "o_orderstatus = 'F'",
+    "o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'",
+    "o_orderdate < TIMESTAMP '1999-06-01 00:00:00'",
+]
+
+
+@st.composite
+def join_queries(draw):
+    lpred = draw(predicates())
+    opred = draw(st.sampled_from(O_PREDS))
+    jtype = draw(st.sampled_from(["JOIN", "LEFT JOIN"]))
+    agg_col = draw(st.sampled_from(NUM_COLS))
+    agg_fn = draw(st.sampled_from(["SUM", "MIN", "MAX", "COUNT"]))
+    return lpred, opred, jtype, agg_fn, agg_col
+
+
+@pytest.fixture(scope="module")
+def duck_join(duck):
+    duck.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_SMOKE}/orders.parquet'")
+    return duck
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(q=join_queries())
+def test_random_join_agg_matches_duckdb(spark_fuzz_join, duck_join, q):
+    """Join semantics fuzzed: inner and left-outer orders x lineitem with
+    random predicates on both sides (outer-side predicates live in the ON
+    clause so NULL-extension is exercised), aggregated per priority."""
+    lpred, opred, jtype, agg_fn, agg_col = q
+    sql = (
+        f"SELECT o_orderpriority AS k, COUNT(*) AS n, {agg_fn}({agg_col}) AS v "
+        f"FROM orders {jtype} lineitem ON l_orderkey = o_orderkey AND ({lpred}) "
+        f"WHERE {opred} GROUP BY 1"
+    )
+    want = _canon(duck_join.execute(sql).fetchall())
+    got = _canon([(r.k, r.n, r.v) for r in spark_fuzz_join.sql(sql).collect()])
+    assert got == want, f"\nquery: {sql}\nspark: {sorted(got)[:5]}\nduck:  {sorted(want)[:5]}"
+
+
+@pytest.fixture(scope="module")
+def spark_fuzz_join(spark_fuzz):
+    load_table(spark_fuzz, SF_SMOKE, "orders").createOrReplaceTempView("orders")
+    return spark_fuzz
+
+
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
 @given(q=queries())
 def test_random_filter_dataframe_api_matches_sql(spark_fuzz, q):
