@@ -182,13 +182,79 @@ FROM documents GROUP BY 1 ORDER BY 1
 """
 
 
+RESIZE_TARGET = 224
+RESIZE_SCHEMA = (
+    "doc_id long, width long, height long, new_w long, new_h long, resized_bytes long"
+)
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fit-to-box resize metadata over Arrow batches. The pixel work is
+    where PIL's `Image.resize` would run (HAVE_CODEC branch); without
+    codecs the geometry — the part the oracle can check — is computed
+    from the fake-decoded dimensions with float64 arithmetic identical
+    to the SQL twin."""
+    import numpy as np
+
+    for pdf in batches:
+        n = pdf["payload"].map(len)
+        width = ((n * 31 + 7) % 640 + 1).to_numpy(dtype="int64")
+        height = ((n * 17 + 3) % 480 + 1).to_numpy(dtype="int64")
+        scale = np.minimum(RESIZE_TARGET / width, RESIZE_TARGET / height)
+        new_w = np.maximum(1, np.floor(width * scale)).astype("int64")
+        new_h = np.maximum(1, np.floor(height * scale)).astype("int64")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": width,
+                "height": height,
+                "new_w": new_w,
+                "new_h": new_h,
+                "resized_bytes": new_w * new_h * 3,
+            }
+        )
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged query: fit-into-224-box resize pass over the payload
+    column via mapInPandas — the remaining plumbing shape of the
+    decode / feature-extract / resize / frame-sample quartet. Aspect
+    ratio is preserved (scale = min over both axes), output geometry and
+    RGB byte volume are emitted per asset; at scale the resized payload
+    would be written alongside, and like decode the task memory bound is
+    one Arrow batch, not a partition."""
+    docs = with_payload(load_table(spark, sf_dir, "documents")).select("doc_id", "payload")
+    return docs.mapInPandas(_resize_batches, RESIZE_SCHEMA).orderBy("doc_id")
+
+
+# Same float64 geometry in SQL: scale = LEAST(224/w, 224/h), floor, min 1.
+MULTIMODAL_RESIZE_SQL = f"""
+WITH meta AS (
+  SELECT doc_id,
+         (strlen(text)*31 + 7) % 640 + 1 AS width,
+         (strlen(text)*17 + 3) % 480 + 1 AS height
+  FROM documents),
+geo AS (
+  SELECT doc_id, width, height,
+         GREATEST(1, CAST(FLOOR(width * LEAST({RESIZE_TARGET}.0 / width,
+                                              {RESIZE_TARGET}.0 / height)) AS BIGINT)) AS new_w,
+         GREATEST(1, CAST(FLOOR(height * LEAST({RESIZE_TARGET}.0 / width,
+                                               {RESIZE_TARGET}.0 / height)) AS BIGINT)) AS new_h
+  FROM meta)
+SELECT doc_id, width, height, new_w, new_h, new_w * new_h * 3 AS resized_bytes
+FROM geo ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "multimodal_decode": multimodal_decode,
     "multimodal_frames": multimodal_frames,
     "multimodal_digest": multimodal_digest,
+    "multimodal_resize": multimodal_resize,
 }
 ORACLES = {
     "multimodal_decode": MULTIMODAL_DECODE_SQL,
     "multimodal_frames": MULTIMODAL_FRAMES_SQL,
     "multimodal_digest": MULTIMODAL_DIGEST_SQL,
+    "multimodal_resize": MULTIMODAL_RESIZE_SQL,
 }
