@@ -60,18 +60,58 @@ def _sessionize(
         )
         return
 
+    import numpy as np
+
     rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
     closed: list[tuple[int, int, int, float]] = []
     cur = state.get if state.exists else None
-    for ts_val, value in zip(rows["ts"], rows["value"]):
-        t = ts_val.value // 1000  # pandas ns → epoch µs
-        if cur is None:
-            cur = (t, t, 1, float(value))
-        elif t - cur[1] > _GAP_US:
+    if not len(rows):
+        if cur is not None:
+            state.update(cur)
+            state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + SESSION_GAP_SECONDS * 1000 + 1
+            )
+        return
+    # Vectorized in-batch fold: gap breaks via a shifted diff, per-segment
+    # aggregates via reduceat — the per-event Python loop this replaces
+    # was the micro-batch hot spot (state handling stays row-free).
+    ts_us = rows["ts"].to_numpy(dtype="datetime64[ns]").astype("int64") // 1000
+    vals = rows["value"].to_numpy(dtype="float64")
+    prev = np.empty_like(ts_us)
+    prev[1:] = ts_us[:-1]
+    # no carry → the first row always opens a session (forced break)
+    prev[0] = cur[1] if cur is not None else ts_us[0] - _GAP_US - 1
+    starts_idx = np.flatnonzero((ts_us - prev) > _GAP_US)
+    if cur is not None and (starts_idx.size == 0 or starts_idx[0] != 0):
+        # first segment continues the carried session
+        seg_end = starts_idx[0] if starts_idx.size else ts_us.size
+        cur = (
+            cur[0],
+            int(ts_us[seg_end - 1]),
+            cur[2] + int(seg_end),
+            cur[3] + float(vals[:seg_end].sum()),
+        )
+        if starts_idx.size:
             closed.append(cur)
-            cur = (t, t, 1, float(value))
-        else:
-            cur = (cur[0], t, cur[2] + 1, cur[3] + float(value))
+            cur = None
+    elif cur is not None:
+        # batch starts with a gap jump: the carried session closes as-is
+        closed.append(cur)
+        cur = None
+    if starts_idx.size:
+        seg_ends = np.r_[starts_idx[1:], ts_us.size]
+        seg_n = seg_ends - starts_idx
+        seg_sv = np.add.reduceat(vals, starts_idx)
+        for i in range(starts_idx.size):
+            closed.append(
+                (
+                    int(ts_us[starts_idx[i]]),
+                    int(ts_us[seg_ends[i] - 1]),
+                    int(seg_n[i]),
+                    float(seg_sv[i]),
+                )
+            )
+        cur = closed.pop()  # the last segment stays open
     state.update(cur)
     state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + SESSION_GAP_SECONDS * 1000 + 1)
     if closed:
