@@ -120,6 +120,27 @@ def test_b5_b7_b8_no_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_semdedup_equi_join_and_pruned_scan(spark):
+    """The cluster-scoped pairwise pass must be an equi-join on the
+    cluster key (never a global cartesian), reading only the three
+    referenced columns."""
+    from dask_distributed_vanilla_spark.operators.similarity import semdedup
+
+    df = semdedup(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_multimodal_resize_prunes_scan(spark):
+    """The resize pass reads only (doc_id, text->payload); the other
+    document columns must not reach the scan."""
+    from dask_distributed_vanilla_spark.operators.multimodal import multimodal_resize
+
+    schemas = read_schemas(multimodal_resize(spark, SF_SMOKE))
+    assert "lang" not in schemas and "source" not in schemas and "n_chars" not in schemas
+
+
 def test_tfidf_single_token_explode(spark):
     """text_tfidf reads documents and explodes tokens; the doc scan must
     prune to (doc_id, text) only."""
