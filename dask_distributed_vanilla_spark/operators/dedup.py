@@ -530,7 +530,50 @@ FROM reach GROUP BY 1 ORDER BY 1
 """
 
 
+# --- incremental (delta-vs-corpus) dedup --------------------------------
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: drop new-batch docs whose exact content
+    digest already exists in the standing corpus.
+
+    The production shape for continuous ingestion — each arriving batch
+    is checked against the lake before append, instead of re-running
+    global dedup over the whole corpus. Here the "new batch" is the
+    ``doc_id % 5 == 0`` slice and the corpus is the rest.
+
+    Scale notes: only 32-byte digests cross the wire — the corpus side
+    reduces to distinct digests before the anti-join, the text column is
+    pruned from its scan, and a typical daily delta is small enough that
+    AQE broadcasts it against the corpus digest set (or, with a digest-
+    bucketed corpus table, the join is shuffle-free). A Bloom filter on
+    corpus digests is the standard pre-pass to skip the join for the
+    ~all-novel case.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "lang", F.md5(F.col("text")).alias("digest")
+    )
+    corpus = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .select(F.md5(F.col("text")).alias("digest"))
+        .distinct()
+    )
+    return new.join(corpus, "digest", "left_anti").select(
+        "doc_id", "lang", "digest"
+    ).orderBy("doc_id")
+
+
+DEDUP_INCREMENTAL_SQL = """
+SELECT doc_id, lang, md5(text) AS digest
+FROM documents d
+WHERE doc_id % 5 = 0
+  AND NOT EXISTS (SELECT 1 FROM documents c
+                  WHERE c.doc_id % 5 <> 0 AND md5(c.text) = md5(d.text))
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "dedup_incremental": dedup_incremental,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -539,6 +582,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_minhash_lsh": _minhash_lsh_sql(),

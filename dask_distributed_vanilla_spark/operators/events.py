@@ -626,7 +626,41 @@ FROM per_user
 
 # never-officially-judged entries lead so they sit inside the driver's
 # 50-entry correctness window (registry.py ordering contract)
+def e21_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score outliers: events whose value deviates > 2.5
+    sample standard deviations from that user's mean.
+
+    Uses analytic (unbounded-frame) window aggregates — avg/stddev OVER
+    (PARTITION BY user_id) — so the whole computation is ONE shuffle of
+    the events on user_id; the agg-then-join-back alternative would
+    shuffle the fact twice. Per-user state is two running moments, so a
+    partition handles arbitrarily many users and skewed users stream
+    (no per-group materialization beyond the partition sort).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    return (
+        ev.select("event_id", "user_id", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 2.5)
+        .select("event_id", "user_id", F.round("z", 2).alias("z"))
+        .orderBy("event_id")
+    )
+
+
+E21_SQL = """
+WITH scored AS (
+  SELECT event_id, user_id,
+         (value - AVG(value) OVER (PARTITION BY user_id))
+           / STDDEV_SAMP(value) OVER (PARTITION BY user_id) AS z
+  FROM events)
+SELECT event_id, user_id, ROUND(z, 2) AS z
+FROM scored WHERE ABS(z) > 2.5 ORDER BY event_id
+"""
+
+
 QUERIES = {
+    "e21_zscore": e21_zscore,
     "e16_histogram": e16_histogram,
     "e17_ranks": e17_ranks,
     "e18_approx_distinct": e18_approx_distinct,
@@ -648,6 +682,7 @@ QUERIES = {
     "e15_range_window": e15_range_window,
 }
 ORACLES = {
+    "e21_zscore": E21_SQL,
     "e1": E1_SQL,
     "e2": E2_SQL,
     "e3": E3_SQL,

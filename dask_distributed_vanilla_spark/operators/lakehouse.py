@@ -1,0 +1,183 @@
+"""Lakehouse-style table maintenance operators: MERGE upsert and
+multi-dimensional (z-order) layout keys.
+
+The reference has no table-maintenance surface (its sinks are
+`client.persist`/`publish_dataset`, SURVEY.md §2.1), but any engine that
+ingests a 100 TB lake needs the two ops here:
+
+* ``merge_upsert`` — SCD-type-1 MERGE of a change batch into a current-
+  state snapshot (the shape `MERGE INTO target USING source ON key WHEN
+  MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT` lowers to in every
+  lakehouse engine): one full-outer join on the merge key + coalesce.
+* ``zorder_layout`` — interleaved-bit z-values over two dimensions; data
+  sorted/written by this key gives parquet min-max pruning on BOTH
+  dimensions instead of one (the layout trick behind Delta OPTIMIZE
+  ZORDER / Hudi clustering).
+
+Scale notes: the MERGE join shuffles both sides on the merge key once;
+with a daily delta vs a large snapshot the delta side is broadcast-able
+and AQE picks that up from its runtime size. The z-value is a pure
+column expression (bit shifts/adds, whole-stage codegen) — computing it
+over 100 TB is scan-bound, and the subsequent repartitionByRange on the
+z-value is the one shuffle any re-clustering pass needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dask_distributed_vanilla_spark.catalog import load_table
+
+# SCD1 split point: state before vs change batch on/after this instant.
+MERGE_SPLIT = "2024-01-16 00:00:00"
+
+
+def _latest_state(ev: DataFrame) -> DataFrame:
+    """Current-state row (latest by ts, event_id tiebreak) per user."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.round("value", 2).alias("value"), "ts")
+    )
+
+
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-1 MERGE: apply the change batch (events on/after
+    MERGE_SPLIT, reduced to latest-per-user) onto the snapshot (latest
+    state before MERGE_SPLIT).
+
+    WHEN MATCHED → overwrite with the source row (action 'updated');
+    WHEN NOT MATCHED → insert the source row ('inserted'); target rows
+    without a source row survive unchanged ('unchanged'). Lowered to a
+    full-outer join + coalesce — the exact physical plan a Delta/Iceberg
+    MERGE produces after its file-pruning phase.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(MERGE_SPLIT).cast("timestamp")
+    target = _latest_state(ev.filter(F.col("ts") < split))
+    source = _latest_state(ev.filter(F.col("ts") >= split))
+    t = target.alias("t")
+    s = source.alias("s")
+    return (
+        t.join(s, F.col("t.user_id") == F.col("s.user_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("t.user_id"), F.col("s.user_id")).alias("user_id"),
+            F.coalesce(F.col("s.value"), F.col("t.value")).alias("value"),
+            F.coalesce(F.col("s.ts"), F.col("t.ts")).alias("ts"),
+            F.when(F.col("s.user_id").isNull(), F.lit("unchanged"))
+            .when(F.col("t.user_id").isNull(), F.lit("inserted"))
+            .otherwise(F.lit("updated"))
+            .alias("action"),
+        )
+        .orderBy("user_id")
+    )
+
+
+MERGE_UPSERT_SQL = f"""
+WITH ranked AS (
+  SELECT user_id, ROUND(value, 2) AS value, ts,
+         CASE WHEN ts < TIMESTAMP '{MERGE_SPLIT}' THEN 't' ELSE 's' END AS side,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id,
+                        CASE WHEN ts < TIMESTAMP '{MERGE_SPLIT}' THEN 't' ELSE 's' END
+           ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events),
+tgt AS (SELECT user_id, value, ts FROM ranked WHERE side = 't' AND rn = 1),
+src AS (SELECT user_id, value, ts FROM ranked WHERE side = 's' AND rn = 1)
+SELECT COALESCE(t.user_id, s.user_id) AS user_id,
+       COALESCE(s.value, t.value) AS value,
+       COALESCE(s.ts, t.ts) AS ts,
+       CASE WHEN s.user_id IS NULL THEN 'unchanged'
+            WHEN t.user_id IS NULL THEN 'inserted'
+            ELSE 'updated' END AS action
+FROM tgt t FULL OUTER JOIN src s ON t.user_id = s.user_id
+ORDER BY user_id
+"""
+
+
+# 16 bits per dimension → 32-bit z-value; masks keep inputs in range.
+Z_BITS = 16
+Z_EPOCH = "1992-01-01"
+
+
+def _zvalue_spark(x, y):
+    """Interleave the low Z_BITS of x (even positions) and y (odd)."""
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _zvalue_sql(x: str, y: str) -> str:
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout keys over orders: interleave (o_custkey,
+    days-since-epoch of o_orderdate) and return the 20 lowest-z rows.
+
+    Sorting the table by ``zval`` (repartitionByRange + sortWithinPartitions
+    in a real re-clustering pass; see `write_zordered`) co-locates rows
+    that are close in BOTH customer and date, so parquet min-max stats
+    prune either predicate. The z-value itself is pure bit arithmetic —
+    codegen'd, no UDF, no shuffle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    x = F.col("o_custkey").cast("long").bitwiseAND(F.lit((1 << Z_BITS) - 1))
+    d = F.datediff(F.col("o_orderdate"), F.lit(Z_EPOCH).cast("date")).cast("long")
+    y = d.bitwiseAND(F.lit((1 << Z_BITS) - 1))
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            d.alias("d"),
+            _zvalue_spark(x, y).alias("zval"),
+        )
+        .orderBy("zval", "o_orderkey")
+        .limit(20)
+    )
+
+
+ZORDER_SQL = f"""
+WITH z AS (
+  SELECT o_orderkey, o_custkey,
+         date_diff('day', DATE '{Z_EPOCH}', o_orderdate) AS d,
+         {_zvalue_sql(f"(o_custkey & {(1 << Z_BITS) - 1})", f"(date_diff('day', DATE '{Z_EPOCH}', o_orderdate) & {(1 << Z_BITS) - 1})")} AS zval
+  FROM orders)
+SELECT o_orderkey, o_custkey, d, zval
+FROM z ORDER BY zval, o_orderkey LIMIT 20
+"""
+
+
+def write_zordered(df: DataFrame, path: str, zcol: str, n_files: int) -> None:
+    """Re-cluster `df` by an already-computed z-value column: range
+    partition on it (one shuffle) + sort within partitions, so each
+    output file covers a tight z-range → tight min-max on both source
+    dimensions."""
+    (
+        df.repartitionByRange(n_files, zcol)
+        .sortWithinPartitions(zcol)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+QUERIES = {
+    "merge_upsert": merge_upsert,
+    "zorder_layout": zorder_layout,
+}
+
+ORACLES = {
+    "merge_upsert": MERGE_UPSERT_SQL,
+    "zorder_layout": ZORDER_SQL,
+}

@@ -43,7 +43,9 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # row first (in module order) and the CORRECTNESS_r02 greens last —
     # the greens that still land inside the window (stream_e1 + the
     # dedup family, changed this round) get a fresh row.
-    mods = [tpch_full, events_stream, curation, dedup, events, tpch, asof, similarity, text, multimodal]
+    from dask_distributed_vanilla_spark.operators import lakehouse
+
+    mods = [tpch_full, events_stream, curation, dedup, events, tpch, asof, similarity, text, multimodal, lakehouse]
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
     for mod in mods:
@@ -57,7 +59,10 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # untouched ones so they are re-judged inside the 50-entry window.
     def _rank(name: str) -> tuple[int, int]:
         if name not in _DRIVER_GREEN_R02:
-            return (0, 0)
+            # Session-late additions rank after the earlier never-judged
+            # set so they cannot push Tier B / streaming out of the
+            # driver's 50-entry window.
+            return (0, 1) if name in _R3_LATE else (0, 0)
         try:
             return (1, _RECHECK_FIRST.index(name))
         except ValueError:
@@ -65,6 +70,18 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 
     queries = dict(sorted(queries.items(), key=lambda kv: _rank(kv[0])))
     return queries, oracles
+
+
+# Queries added after the round-3 registry reorder was sized to the
+# 50-entry window: judged locally via tools/check.py; they take driver
+# slots only after the earlier never-judged set.
+_R3_LATE = frozenset({
+    "merge_upsert",
+    "zorder_layout",
+    "dedup_incremental",
+    "e21_zscore",
+    "stream_enrich",
+})
 
 
 _RECHECK_FIRST = (

@@ -348,7 +348,53 @@ FROM agg ORDER BY user_id, session_start
 """
 
 
+def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged query: stream-static enrichment join — the streaming events
+    joined against the static customer dimension (user_id → c_custkey),
+    then watermarked tumbling-window revenue per market segment.
+
+    The stream-static join is the third streaming join class next to
+    stream-stream (stream_join) and self-dedup (stream_dedup): the static
+    side is planned as a normal batch scan re-read per micro-batch and —
+    because it is a dimension — broadcast to the stream side, so no
+    stream state is needed for the join itself; only the windowed agg
+    keeps (watermark-bounded) state. At scale the static side is the
+    slowly-changing dim table; Spark re-plans it each micro-batch so
+    dim updates are picked up without restarting the query.
+    """
+    from dask_distributed_vanilla_spark.catalog import load_table
+
+    sink = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    q = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .join(F.broadcast(dim), "user_id")
+        .groupBy("c_mktsegment", F.window("ts", "1 day").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+        .select("c_mktsegment", F.col("win.start").alias("w"), "n", "sv")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).orderBy("c_mktsegment", "w")
+
+
+STREAM_ENRICH_SQL = """
+SELECT c_mktsegment, date_trunc('day', ts) AS w,
+       COUNT(*) AS n, ROUND(SUM(value),2) AS sv
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1,2 ORDER BY 1,2
+"""
+
+
 QUERIES = {
+    "stream_enrich": stream_enrich,
     "stream_e1": stream_e1,
     "stream_sliding": stream_sliding,
     "stream_dedup": stream_dedup,
@@ -357,6 +403,7 @@ QUERIES = {
     "stream_stateful": stream_stateful,
 }
 ORACLES = {
+    "stream_enrich": STREAM_ENRICH_SQL,
     "stream_e1": STREAM_E1_SQL,
     "stream_sliding": STREAM_SLIDING_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,

@@ -260,3 +260,46 @@ def test_e16_histogram_single_exchange(spark):
     plan = formatted_plan(e16_histogram(spark, SF_SMOKE))
     assert plan.count("Exchange (") <= 2  # agg exchange + output sort
     assert "Join" not in plan
+
+
+def test_e21_zscore_single_user_shuffle(spark):
+    """Both analytic moments share one user_id window shuffle; only the
+    output ORDER BY adds a second exchange."""
+    from dask_distributed_vanilla_spark.operators.events import e21_zscore
+
+    plan = formatted_plan(e21_zscore(spark, SF_SMOKE))
+    assert plan.count("Exchange (") == 2
+    assert plan.count("Window (") == 1  # avg + stddev in one window op
+
+
+def test_zorder_layout_is_codegen_topk(spark):
+    """The z-value is pure bit arithmetic: no join, no aggregate
+    exchange — a single scan into TakeOrderedAndProject."""
+    from dask_distributed_vanilla_spark.operators.lakehouse import zorder_layout
+
+    plan = formatted_plan(zorder_layout(spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_merge_upsert_full_outer_on_key(spark):
+    """MERGE lowers to one full-outer join on the merge key over the
+    two latest-state windows."""
+    from dask_distributed_vanilla_spark.operators.lakehouse import merge_upsert
+
+    plan = formatted_plan(merge_upsert(spark, SF_SMOKE))
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_incremental_prunes_text_and_antijoins(spark):
+    """Only digests cross the join: the anti-join input projects the
+    32-byte digest, never the text column, and both parquet scans get
+    the doc_id slice predicate pushed."""
+    from dask_distributed_vanilla_spark.operators.dedup import dedup_incremental
+
+    df = dedup_incremental(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan

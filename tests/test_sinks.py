@@ -97,3 +97,26 @@ def test_json_sink_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, back.select(*src.columns).collect())) == sorted(
         map(tuple, src.collect())
     )
+
+
+def test_dynamic_partition_pruning_on_star_join(spark, tmp_path):
+    """Dynamic partition pruning: a fact table partitioned on the join
+    key scans only the partitions the filtered dimension selects — the
+    runtime filter Spark injects is the star-join scan killer at 100 TB
+    (prune first, then join, without the predicate being static)."""
+    fact = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    writers.write_partitioned(fact, path, ["o_year"])
+    dim = spark.range(1995, 2003).select(
+        F.col("id").cast("int").alias("o_year"), (F.col("id") % 2 == 0).alias("keep")
+    )
+    joined = (
+        spark.read.parquet(path)
+        .join(dim.where(F.col("keep")), "o_year")
+        .groupBy("o_year")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = formatted_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan
