@@ -659,7 +659,47 @@ FROM scored WHERE ABS(z) > 2.5 ORDER BY event_id
 """
 
 
+def e22_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (event_type, day-of-week) with GROUPING markers —
+    all four grouping sets in one pass. ROLLUP (e8) covers the drill-down
+    hierarchy; CUBE adds the cross-dimension totals (per-dow across all
+    types), and grouping_id disambiguates real NULL keys from subtotal
+    rows — the reason the markers exist. One Expand + one partial/final
+    aggregate: 4× the map-side rows, still a single shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("dow", F.dayofweek("ts"))
+        .cube("event_type", "dow")
+        .agg(
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("dow").cast("int").alias("g_dow"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sv"),
+        )
+        .select("event_type", "dow", "g_type", "g_dow", "n", "sv")
+        .orderBy(
+            F.col("event_type").asc_nulls_first(),
+            F.col("dow").asc_nulls_first(),
+            "g_type",
+            "g_dow",
+        )
+    )
+
+
+E22_SQL = """
+SELECT event_type, dow,
+       CAST(GROUPING(event_type) AS INT) AS g_type,
+       CAST(GROUPING(dow) AS INT) AS g_dow,
+       COUNT(*) AS n, ROUND(SUM(value),2) AS sv
+FROM (SELECT event_type, dayofweek(ts) + 1 AS dow, value FROM events)
+GROUP BY CUBE(event_type, dow)
+ORDER BY event_type NULLS FIRST, dow NULLS FIRST, g_type, g_dow
+"""
+
+
 QUERIES = {
+    "e22_cube": e22_cube,
     "e21_zscore": e21_zscore,
     "e16_histogram": e16_histogram,
     "e17_ranks": e17_ranks,
@@ -682,6 +722,7 @@ QUERIES = {
     "e15_range_window": e15_range_window,
 }
 ORACLES = {
+    "e22_cube": E22_SQL,
     "e21_zscore": E21_SQL,
     "e1": E1_SQL,
     "e2": E2_SQL,

@@ -43,9 +43,9 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # row first (in module order) and the CORRECTNESS_r02 greens last —
     # the greens that still land inside the window (stream_e1 + the
     # dedup family, changed this round) get a fresh row.
-    from dask_distributed_vanilla_spark.operators import lakehouse
+    from dask_distributed_vanilla_spark.operators import graph, lakehouse
 
-    mods = [tpch_full, events_stream, curation, dedup, events, tpch, asof, similarity, text, multimodal, lakehouse]
+    mods = [tpch_full, events_stream, curation, dedup, events, tpch, asof, similarity, text, multimodal, lakehouse, graph]
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
     for mod in mods:
@@ -80,7 +80,9 @@ _R3_LATE = frozenset({
     "zorder_layout",
     "dedup_incremental",
     "e21_zscore",
+    "e22_cube",
     "stream_enrich",
+    "graph_triangles",
 })
 
 

@@ -227,3 +227,42 @@ def test_sample_and_random_split(spark):
     assert ids_train.isdisjoint(ids_test)
     assert len(ids_train) + len(ids_test) == 10_000
     assert 7000 < len(ids_train) < 9000
+
+
+def test_python_datasource_dbgen_tbl(spark, tmp_path):
+    """The user-defined Python DataSource reads dbgen shards with one
+    task per file and matches the JVM csv fast path row-for-row
+    (including trailing-separator and empty-field→NULL handling)."""
+    from dask_distributed_vanilla_spark.sources import pyds
+
+    if not pyds.HAVE_DATASOURCE_API:
+        import pytest
+
+        pytest.skip("DataSource API requires Spark >= 4.0")
+
+    shard1 = tmp_path / "nation.tbl.1"
+    shard1.write_text(
+        "0|ALGERIA|0|haggle carefully|\n"
+        "1|ARGENTINA|1||\n"  # empty comment -> NULL
+        "2|BRAZIL|1|quick deposits|\n"
+    )
+    shard2 = tmp_path / "nation.tbl.2"
+    shard2.write_text(
+        "3|CANADA|1|silent packages|\n"
+        "4|EGYPT|4|furious ideas|\n"
+    )
+
+    spark.dataSource.register(pyds.DbgenTblDataSource)
+    via_pyds = (
+        spark.read.format("dbgen_tbl")
+        .option("table", "nation")
+        .load(str(tmp_path / "nation.tbl.*"))
+    )
+    via_jvm = readers.read_delimited(spark, str(tmp_path / "nation.tbl.*"), "nation")
+
+    got = sorted(map(tuple, via_pyds.collect()))
+    want = sorted(map(tuple, via_jvm.collect()))
+    assert got == want and len(got) == 5
+    assert got[1][3] is None  # empty field parsed as NULL
+    # one input partition per shard — the parallelism contract
+    assert via_pyds.rdd.getNumPartitions() == 2

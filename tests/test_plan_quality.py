@@ -303,3 +303,38 @@ def test_dedup_incremental_prunes_text_and_antijoins(spark):
     plan = formatted_plan(df)
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_on_selective_shuffle_join(spark):
+    """When the join can't broadcast, Spark can still inject a runtime
+    Bloom filter built from the selective side into the fact scan — the
+    shuffle-join analog of dynamic partition pruning. Pinned here with
+    the size thresholds relaxed to fire at test scale (at 100 TB the
+    defaults — creation side < 10 MB, application side > 10 GB — gate it
+    to exactly the star-join case it is meant for)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        from dask_distributed_vanilla_spark.catalog import load_table
+        from pyspark.sql import functions as F
+
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        sel = load_table(spark, SF_SMOKE, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(sel, li.l_orderkey == sel.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        assert "bloomfilter" in formatted_plan(joined).lower()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -116,3 +116,30 @@ def test_e10_approx_within_rank_error(spark):
         assert b.lo50 - 0.01 <= a.p50 <= b.hi50 + 0.01, (et, "p50")
         assert b.lo90 - 0.01 <= a.p90 <= b.hi90 + 0.01, (et, "p90")
         assert b.lo99 - 0.01 <= a.p99 <= b.hi99 + 0.01, (et, "p99")
+
+
+def test_triangle_orientation_bounds_out_degree(spark):
+    """The degree-ordered orientation's scale guarantee: no vertex ends
+    up with out-degree above sqrt(2m), regardless of raw-degree skew —
+    the property that keeps the wedge join bounded at 100 TB."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from dask_distributed_vanilla_spark.operators import graph
+
+    # sf0.001 has no same-minute co-occurrence; the graph needs sf0.01
+    e = graph._edges(spark, "/root/testdata/sf0.01").localCheckpoint()
+    m = e.count()
+    assert m > 0
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    adj = graph.oriented_adjacency(e, deg)
+    max_out = adj.groupBy("src").count().agg(F.max("count")).first()[0]
+    assert max_out <= math.isqrt(2 * m) + 1
+    # orientation preserves the edge set
+    assert adj.count() == m
