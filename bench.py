@@ -76,6 +76,25 @@ def main() -> None:
             aux["skew"] = skew_bench(spark, n_rows=3_000_000)
         except Exception as e:  # pragma: no cover - defensive
             aux["skew"] = {"error": str(e)[:300]}
+        # the reference's tree-reduction benchmark: 1,024 delayed add
+        # leaves reduced down a binary future tree
+        # (benchmark/tree_reduction.py:17-31)
+        try:
+            import operator
+
+            from dask_distributed_vanilla_spark.client import Client, tree_reduce
+
+            cl = Client(spark)
+            t0 = time.perf_counter()
+            out = tree_reduce(cl, operator.add, list(range(1024))).result()
+            aux["tree_reduction"] = {
+                "leaves": 1024,
+                "chunk": 2,
+                "sec": round(time.perf_counter() - t0, 3),
+                "result_ok": out == 1024 * 1023 // 2,
+            }
+        except Exception as e:  # pragma: no cover - defensive
+            aux["tree_reduction"] = {"error": str(e)[:300]}
         # "large" = the BASELINE.md-named configs at 128 GiB/local[32]
         # scale (tools/bench_linalg.py SIZES); ~4-5 min — drop to
         # "small" via env when iterating

@@ -177,3 +177,46 @@ def test_random_filter_dataframe_api_matches_sql(spark_fuzz, q):
     n_api = li.where(F.expr(where)).count()
     n_sql = spark_fuzz.sql(f"SELECT COUNT(*) AS n FROM lineitem WHERE {where}").collect()[0].n
     assert n_api == n_sql
+
+
+@st.composite
+def window_queries(draw):
+    pcol = draw(st.sampled_from(["l_returnflag", "l_linestatus"]))
+    ocol = draw(st.sampled_from(["l_shipdate", "l_extendedprice", "l_quantity"]))
+    rankfn = draw(st.sampled_from(["ROW_NUMBER()", "RANK()", "DENSE_RANK()"]))
+    ncol = draw(st.sampled_from(NUM_COLS))
+    frame = draw(
+        st.sampled_from(
+            [
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+                "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
+                "ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING",
+            ]
+        )
+    )
+    wagg = draw(st.sampled_from(["SUM", "AVG", "MIN", "MAX"]))
+    pred = draw(predicates())
+    return pcol, ocol, rankfn, ncol, frame, wagg, pred
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(q=window_queries())
+def test_random_window_functions_match_duckdb(spark_fuzz, duck, q):
+    """Window semantics fuzzed: ranking functions and ROWS-frame
+    aggregates over a deterministic total order (unique tiebreak), value
+    columns rounded with the judged suite's half-up contract. Covers
+    frame arithmetic (trailing, offset, unbounded), rank-vs-row
+    agreement under a total order, and NULL-free frame edges."""
+    pcol, ocol, rankfn, ncol, frame, wagg, pred = q
+    order = f"{ocol}, l_orderkey, l_linenumber"
+    sql = (
+        f"SELECT k, rn, v FROM ("
+        f"  SELECT {pcol} AS k,"
+        f"         {rankfn} OVER (PARTITION BY {pcol} ORDER BY {order}) AS rn,"
+        f"         {wagg}({ncol}) OVER (PARTITION BY {pcol} ORDER BY {order} {frame}) AS v"
+        f"  FROM lineitem WHERE {pred}"
+        f") WHERE rn <= 20"
+    )
+    want = _canon(duck.execute(sql).fetchall())
+    got = _canon([(r.k, r.rn, r.v) for r in spark_fuzz.sql(sql).collect()])
+    assert got == want, f"\nquery: {sql}\nspark: {sorted(got)[:5]}\nduck:  {sorted(want)[:5]}"
