@@ -462,7 +462,68 @@ FROM chunks GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1
 """
 
 
+# Per-language character budgets for the training-mix draw (the usual
+# practice: upsample high-resource languages by an explicit target mix,
+# not by corpus frequency).
+MIX_BUDGET = {"en": 25_000, "de": 10_000, "fr": 7_500, "es": 5_000, "zh": 2_500}
+
+
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data mixing: draw documents per language, in the
+    deterministic md5(doc_id) order, until each language's character
+    budget (MIX_BUDGET) is filled — the mixture-weighting step of a
+    training-data pipeline, where the mix is set by token budget rather
+    than document count.
+
+    One (lang) shuffle: the running character sum and the budget cutoff
+    ride a single partitioned window. At 100 TB the md5 rank makes the
+    draw reproducible across runs and engines (no RNG state), and the
+    budget filter is a per-partition streaming pass — no global sort,
+    no driver coordination.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    budget = F.coalesce(
+        *[
+            F.when(F.col("lang") == k, F.lit(v))
+            for k, v in sorted(MIX_BUDGET.items())
+        ],
+        F.lit(0),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select("lang", "doc_id", "n_chars")
+        .withColumn("cum_chars", F.sum("n_chars").over(w))
+        .where(F.col("cum_chars") <= budget)
+        .orderBy("lang", "cum_chars")
+    )
+
+
+def _mixture_case_sql() -> str:
+    arms = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(MIX_BUDGET.items())
+    )
+    return f"CASE lang {arms} ELSE 0 END"
+
+
+SAMPLE_MIXTURE_SQL = f"""
+SELECT lang, doc_id, n_chars, cum_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         CAST(SUM(n_chars) OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_chars
+  FROM documents)
+WHERE cum_chars <= {_mixture_case_sql()}
+ORDER BY lang, cum_chars
+"""
+
+
 QUERIES = {
+    "sample_mixture": sample_mixture,
     "doc_chunks": doc_chunks,
     "redact_pii": redact_pii,
     "cluster_best": cluster_best,
@@ -475,6 +536,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sample_mixture": SAMPLE_MIXTURE_SQL,
     "doc_chunks": DOC_CHUNKS_SQL,
     "redact_pii": REDACT_PII_SQL,
     "cluster_best": _cluster_best_sql(),

@@ -172,12 +172,90 @@ def write_zordered(df: DataFrame, path: str, zcol: str, n_files: int) -> None:
     )
 
 
+# Two consecutive 10-day activity windows: the CDC comparison states.
+DIFF_W1 = ("2024-01-01 00:00:00", "2024-01-11 00:00:00")
+DIFF_W2 = ("2024-01-11 00:00:00", "2024-01-21 00:00:00")
+
+
+def _window_state(ev: DataFrame, lo: str, hi: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit(lo).cast("timestamp"))
+            & (F.col("ts") < F.lit(hi).cast("timestamp"))
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.round("value", 2).alias("value"))
+    )
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data extraction between two table states: diff the
+    per-user latest-value snapshot of one activity window against the
+    next, emitting insert / delete / update / unchanged rows — the diff
+    that feeds incremental materialized-view maintenance and CDC
+    downstream (Delta CDF produces exactly this row shape).
+
+    One full-outer join on the snapshot key; each snapshot is one
+    windowed shuffle of its slice. At scale both sides prune their scan
+    to the window's partitions (the fixture's month is one folder of a
+    date-partitioned lake) and the join key carries no payload beyond
+    the compared columns.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    a = _window_state(ev, *DIFF_W1).alias("a")
+    b = _window_state(ev, *DIFF_W2).alias("b")
+    return (
+        a.join(b, F.col("a.user_id") == F.col("b.user_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("a.user_id"), F.col("b.user_id")).alias("user_id"),
+            F.col("a.value").alias("old_value"),
+            F.col("b.value").alias("new_value"),
+            F.when(F.col("a.user_id").isNull(), F.lit("insert"))
+            .when(F.col("b.user_id").isNull(), F.lit("delete"))
+            .when(F.col("a.value") == F.col("b.value"), F.lit("unchanged"))
+            .otherwise(F.lit("update"))
+            .alias("change_type"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SNAPSHOT_DIFF_SQL = f"""
+WITH ranked AS (
+  SELECT user_id, ROUND(value, 2) AS value, ts, event_id,
+         CASE WHEN ts >= TIMESTAMP '{DIFF_W1[0]}' AND ts < TIMESTAMP '{DIFF_W1[1]}'
+              THEN 'a' ELSE 'b' END AS side
+  FROM events
+  WHERE ts >= TIMESTAMP '{DIFF_W1[0]}' AND ts < TIMESTAMP '{DIFF_W2[1]}'),
+states AS (
+  SELECT side, user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY side, user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ranked),
+a AS (SELECT user_id, value FROM states WHERE side = 'a' AND rn = 1),
+b AS (SELECT user_id, value FROM states WHERE side = 'b' AND rn = 1)
+SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+       a.value AS old_value,
+       b.value AS new_value,
+       CASE WHEN a.user_id IS NULL THEN 'insert'
+            WHEN b.user_id IS NULL THEN 'delete'
+            WHEN a.value = b.value THEN 'unchanged'
+            ELSE 'update' END AS change_type
+FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "merge_upsert": merge_upsert,
     "zorder_layout": zorder_layout,
+    "snapshot_diff": snapshot_diff,
 }
 
 ORACLES = {
     "merge_upsert": MERGE_UPSERT_SQL,
     "zorder_layout": ZORDER_SQL,
+    "snapshot_diff": SNAPSHOT_DIFF_SQL,
 }

@@ -83,6 +83,8 @@ _R3_LATE = frozenset({
     "e22_cube",
     "stream_enrich",
     "graph_triangles",
+    "sample_mixture",
+    "snapshot_diff",
 })
 
 

@@ -338,3 +338,21 @@ def test_runtime_bloom_filter_on_selective_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_sample_mixture_single_lang_shuffle(spark):
+    """Running char sum and budget cutoff ride one (lang) window
+    shuffle; only the output ORDER BY adds a second exchange."""
+    from dask_distributed_vanilla_spark.operators.curation import sample_mixture
+
+    plan = formatted_plan(sample_mixture(spark, SF_SMOKE))
+    assert plan.count("Exchange (") == 2
+    assert "Join" not in plan
+
+
+def test_snapshot_diff_full_outer_no_cartesian(spark):
+    from dask_distributed_vanilla_spark.operators.lakehouse import snapshot_diff
+
+    plan = formatted_plan(snapshot_diff(spark, SF_SMOKE))
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
