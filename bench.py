@@ -24,12 +24,12 @@ from dask_distributed_vanilla_spark.session import get_spark
 
 
 # Suite-total drift budget at the driver's sf0.1 / local[32] config:
-# round 3 measured 109.7s over 94 queries (the 65 round-2 queries ran
-# 70.6s -> 64.1s like-for-like; the 29 additions cost 45.6s, dominated
-# by the iterative-CC cluster_best composition and the stateful
-# streaming twins' fixed state-store cost). Exceeding the budget flags
-# a regression in the output instead of relying on a human diff.
-SUITE_BUDGET_SEC = 130.0
+# round 3 measured 91.6s over the full 105-query suite on an idle box
+# (median-of-reps; the nine round-3 late additions each land 0.2-1.4s).
+# Co-running workloads inflate the total ~2.5x, so the budget keeps
+# headroom for a loaded driver host. Exceeding it flags a regression in
+# the output instead of relying on a human diff.
+SUITE_BUDGET_SEC = 140.0
 SUBSEC_REPS = 5
 
 
