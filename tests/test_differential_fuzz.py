@@ -220,3 +220,82 @@ def test_random_window_functions_match_duckdb(spark_fuzz, duck, q):
     want = _canon(duck.execute(sql).fetchall())
     got = _canon([(r.k, r.rn, r.v) for r in spark_fuzz.sql(sql).collect()])
     assert got == want, f"\nquery: {sql}\nspark: {sorted(got)[:5]}\nduck:  {sorted(want)[:5]}"
+
+
+@st.composite
+def scalar_exprs(draw):
+    """Random scalar expression over documents(text, lang) using only
+    functions whose name AND semantics agree between Spark SQL and
+    DuckDB (character-counting substr, char-wise reverse, ANSI trim,
+    || concat; case functions restricted to the ASCII lang column to
+    stay clear of locale-dependent case mapping)."""
+    base = draw(st.sampled_from(["text", "lang"]))
+    kind = draw(
+        st.sampled_from(["substr", "trim", "reverse", "len", "concat", "case"])
+    )
+    if kind == "substr":
+        i = draw(st.integers(min_value=1, max_value=12))
+        n = draw(st.integers(min_value=0, max_value=20))
+        return f"substr({base}, {i}, {n})"
+    if kind == "trim":
+        return f"trim({base})"
+    if kind == "reverse":
+        return f"reverse(substr({base}, 1, 16))"
+    if kind == "len":
+        return f"CAST(length({base}) AS BIGINT)"
+    if kind == "concat":
+        return f"lang || ':' || substr({base}, 1, 8)"
+    return draw(st.sampled_from(["upper(lang)", "lower(upper(lang))"]))
+
+
+@st.composite
+def date_exprs(draw):
+    kind = draw(st.sampled_from(["year", "month", "trunc", "shift"]))
+    if kind == "year":
+        return "CAST(year(ts) AS BIGINT)"
+    if kind == "month":
+        return "CAST(month(ts) AS BIGINT)"
+    if kind == "trunc":
+        # 'day' yields DATE in DuckDB but TIMESTAMP in Spark — cast both
+        g = draw(st.sampled_from(["day", "hour", "minute"]))
+        return f"CAST(date_trunc('{g}', ts) AS TIMESTAMP)"
+    n = draw(st.integers(min_value=1, max_value=30))
+    unit = draw(st.sampled_from(["DAY", "HOUR"]))
+    return f"ts + INTERVAL {n} {unit}"
+
+
+@pytest.fixture(scope="module")
+def duck_scalar(duck):
+    duck.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    return duck
+
+
+@pytest.fixture(scope="module")
+def spark_fuzz_scalar(spark_fuzz):
+    load_table(spark_fuzz, SF_SMOKE, "documents").createOrReplaceTempView("documents")
+    load_table(spark_fuzz, SF_SMOKE, "events").createOrReplaceTempView("events_fz")
+    return spark_fuzz
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(e=scalar_exprs())
+def test_random_string_exprs_match_duckdb(spark_fuzz_scalar, duck_scalar, e):
+    sql = f"SELECT doc_id, {e} AS v FROM documents"
+    want = {(r[0], r[1]) for r in duck_scalar.execute(sql).fetchall()}
+    got = {(r.doc_id, r.v) for r in spark_fuzz_scalar.sql(sql).collect()}
+    assert got == want, f"\nexpr: {e}"
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(e=date_exprs())
+def test_random_date_exprs_match_duckdb(spark_fuzz_scalar, duck, e):
+    duck.execute(
+        f"CREATE VIEW IF NOT EXISTS events_fz AS "
+        f"SELECT event_id, ts FROM '{SF_SMOKE}/events.parquet'"
+    )
+    sql = f"SELECT event_id, {e} AS v FROM events_fz"
+    want = {(r[0], r[1]) for r in duck.execute(sql).fetchall()}
+    got = {(r.event_id, r.v) for r in spark_fuzz_scalar.sql(sql).collect()}
+    assert got == want, f"\nexpr: {e}"

@@ -120,3 +120,42 @@ def test_dynamic_partition_pruning_on_star_join(spark, tmp_path):
     )
     plan = formatted_plan(joined)
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_zordered_write_clusters_both_dimensions(spark, tmp_path):
+    """Re-clustering by z-value delivers the layout promise: rows in a
+    narrow z-range land in few files (so parquet min-max stats prune
+    BOTH source dimensions), and every file covers a disjoint z-range."""
+    from dask_distributed_vanilla_spark.operators.lakehouse import (
+        Z_BITS,
+        Z_EPOCH,
+        _zvalue_spark,
+        write_zordered,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+
+    x = F.col("o_custkey").cast("long").bitwiseAND(F.lit((1 << Z_BITS) - 1))
+    d = F.datediff(F.col("o_orderdate"), F.lit(Z_EPOCH).cast("date")).cast("long")
+    y = d.bitwiseAND(F.lit((1 << Z_BITS) - 1))
+    with_z = orders.select("o_orderkey", _zvalue_spark(x, y).alias("zval"))
+
+    path = str(tmp_path / "orders_zordered")
+    write_zordered(with_z, path, "zval", n_files=8)
+
+    back = spark.read.parquet(path).select(
+        "zval", F.input_file_name().alias("f")
+    )
+    # per-file z-ranges must be pairwise disjoint (range partitioning)
+    ranges = sorted(
+        (r["lo"], r["hi"])
+        for r in back.groupBy("f").agg(F.min("zval").alias("lo"), F.max("zval").alias("hi")).collect()
+    )
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
+    # a narrow z-slice (the bottom row-decile) touches at most 2 of the
+    # 8 files — range partitioning splits by row quantile, so locality
+    # is a row-share property, not a value-share one
+    cut = back.approxQuantile("zval", [0.1], 0.01)[0]
+    touched = back.where(F.col("zval") <= cut).select("f").distinct().count()
+    assert touched <= 2
