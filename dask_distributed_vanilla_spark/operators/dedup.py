@@ -572,8 +572,104 @@ ORDER BY doc_id
 """
 
 
+def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup: drop new-batch docs whose word-shingle
+    Jaccard with any standing-corpus doc reaches the threshold, found via
+    the same MinHash-band machinery as dedup_minhash_lsh.
+
+    The production path for continuous ingestion at near-dup level: the
+    corpus' band buckets are a standing index, and each arriving batch
+    generates candidates DIRECTIONALLY — new-side bands join corpus-side
+    bands only, so candidate work scales with the delta, never with
+    corpus × corpus. Near-dups *within* the batch are left to the batch's
+    own dedup pass (batch-vs-corpus semantics). Exact verification runs
+    on candidates only, same as the full-corpus operator.
+    """
+    rows_per_band = MINHASH_K // LSH_BANDS
+    is_new = F.col("doc_id") % 5 == 0
+    sh_base = _shingle_table(spark, sf_dir, materialize=True)
+    hs = sh_base.select("doc_id", F.md5(F.col("sh")).alias("h"))
+    sig = hs.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.concat(F.substring("h", k + 1, 32 - k), F.substring("h", 1, k))
+            ).alias(f"mh{k}")
+            for k in range(MINHASH_K)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat(
+                                *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    x = bands.filter(is_new).alias("x")  # delta side
+    y = bands.filter(~is_new).alias("y")  # corpus side
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket")),
+        )
+        .select(F.col("x.doc_id").alias("doc_new"), F.col("y.doc_id").alias("doc_old"))
+        .distinct()
+    )
+    counts = sh_base.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_n = sh_base.select(F.col("doc_id").alias("doc_new"), "sh")
+    sh_o = sh_base.select(F.col("doc_id").alias("doc_old"), "sh")
+    common = (
+        cand.join(sh_n, "doc_new")
+        .join(sh_o, ["doc_old", "sh"])
+        .groupBy("doc_new", "doc_old")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cn = counts.select(F.col("doc_id").alias("doc_new"), F.col("n_sh").alias("n_n"))
+    co = counts.select(F.col("doc_id").alias("doc_old"), F.col("n_sh").alias("n_o"))
+    jac = F.col("n_common") / (F.col("n_n") + F.col("n_o") - F.col("n_common"))
+    dupes = (
+        common.join(cn, "doc_new")
+        .join(co, "doc_old")
+        .where(jac >= JACCARD_THRESHOLD)
+        .select(F.col("doc_new").alias("doc_id"))
+        .distinct()
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(is_new)
+        .select("doc_id", "lang")
+        .join(dupes, "doc_id", "left_anti")
+        .orderBy("doc_id")
+    )
+
+
+def _incremental_near_sql() -> str:
+    return f"""
+WITH {_minhash_cte_chain()}
+SELECT doc_id, lang FROM documents d
+WHERE doc_id % 5 = 0
+  AND NOT EXISTS (
+    SELECT 1 FROM lsh_pairs p
+    WHERE (p.doc_a = d.doc_id AND p.doc_b % 5 <> 0)
+       OR (p.doc_b = d.doc_id AND p.doc_a % 5 <> 0))
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_incremental": dedup_incremental,
+    "dedup_incremental_near": dedup_incremental_near,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -583,6 +679,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
+    "dedup_incremental_near": _incremental_near_sql(),
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_minhash_lsh": _minhash_lsh_sql(),

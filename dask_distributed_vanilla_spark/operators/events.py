@@ -698,7 +698,45 @@ ORDER BY event_type NULLS FIRST, dow NULLS FIRST, g_type, g_dow
 """
 
 
+def e23_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group: Pearson correlation and sample
+    covariance of (value, hour-of-day) per event type — the correlation
+    family of aggregates (corr/covar), absent from the reference's agg
+    surface but table stakes for profiling.
+
+    All four moments come out of ONE partial+final aggregate pass (each
+    is a sum of per-row products — mergeable map-side like any sum), so
+    the operator costs exactly what a sum does: one shuffle of tiny
+    partial-state tuples. Rounded to 3 decimals: both engines sum the
+    same doubles, differing only in partial-sum order (relative error
+    ~1e-15, far below the rounding grid).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = F.hour("ts").cast("double")
+    return (
+        ev.select("event_type", F.col("value").alias("v"), h.alias("h"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.corr("v", "h"), 3).alias("corr_vh"),
+            F.round(F.covar_samp("v", "h"), 3).alias("covar_vh"),
+            F.round(F.stddev_samp("v"), 3).alias("sd_v"),
+        )
+        .orderBy("event_type")
+    )
+
+
+E23_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       ROUND(corr(value, CAST(hour(ts) AS DOUBLE)), 3) AS corr_vh,
+       ROUND(covar_samp(value, CAST(hour(ts) AS DOUBLE)), 3) AS covar_vh,
+       ROUND(stddev_samp(value), 3) AS sd_v
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
+    "e23_corr": e23_corr,
     "e22_cube": e22_cube,
     "e21_zscore": e21_zscore,
     "e16_histogram": e16_histogram,
@@ -722,6 +760,7 @@ QUERIES = {
     "e15_range_window": e15_range_window,
 }
 ORACLES = {
+    "e23_corr": E23_SQL,
     "e22_cube": E22_SQL,
     "e21_zscore": E21_SQL,
     "e1": E1_SQL,

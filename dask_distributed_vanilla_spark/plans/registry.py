@@ -85,6 +85,8 @@ _R3_LATE = frozenset({
     "graph_triangles",
     "sample_mixture",
     "snapshot_diff",
+    "e23_corr",
+    "dedup_incremental_near",
 })
 
 

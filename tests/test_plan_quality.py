@@ -356,3 +356,13 @@ def test_snapshot_diff_full_outer_no_cartesian(spark):
     plan = formatted_plan(snapshot_diff(spark, SF_SMOKE))
     assert "FullOuter" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_incremental_near_no_cartesian_and_antijoin(spark):
+    """Directional delta-vs-corpus candidates: equi-join on band buckets
+    (never a cartesian), survivors via left-anti join."""
+    from dask_distributed_vanilla_spark.operators.dedup import dedup_incremental_near
+
+    plan = formatted_plan(dedup_incremental_near(spark, SF_SMOKE))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
