@@ -13,6 +13,10 @@ higher-order functions — functions/vector.py):
   self-join becomes bucket-local, and bucket width tunes recall/cost.
 - `ivf_kmeans_search` — IVF via pyspark.ml KMeans centroids (library
   scale path; seeded but not oracle-hashed — unit-tested for recall).
+- `ann_pq_search` — product quantization: per-subspace codebooks encode
+  the corpus as n_sub small ints (the memory workhorse at 1B+ vectors),
+  ADC equi-join scoring builds a shortlist, exact cosine re-ranks it
+  (seeded; recall-tested).
 
 Norms are precomputed once per side before the join — at scale that is
 the difference between O(n·k) and O(n²) norm folds.
@@ -289,6 +293,108 @@ def ivf_kmeans_search(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", cos)
         .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", F.round("cos", 2).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_pq_search(
+    spark: SparkSession,
+    sf_dir: str,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    shortlist: int = 50,
+) -> DataFrame:
+    """Product-quantization ANN: retrieve by asymmetric-distance codes,
+    re-rank the shortlist exactly — the third scale path next to sign-LSH
+    bucketing and IVF probing.
+
+    Each unit-normalized vector splits into `n_sub` subvectors; a seeded
+    per-subspace KMeans codebook (`n_codes` centroids) encodes the corpus
+    as `n_sub` small integers — at a billion vectors the codes are ~n_sub
+    bytes/vector instead of 4·dim, which is the reason PQ is the memory
+    workhorse of ANN. Scoring is the ADC shape expressed relationally:
+    per-query subvector·centroid dot products form a (query, sub, code)
+    table that the exploded corpus codes equi-join, and the per-pair SUM
+    of matched entries is the approximate dot product. The `shortlist`
+    best by ADC are then re-ranked with the EXACT cosine (the standard
+    retrieve-then-rerank contract: PQ bounds memory and candidate count,
+    exactness is restored where it matters).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = len(emb.select("embedding").first()[0])
+    d_sub = d // n_sub
+    unit = _with_norm(emb).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x / F.col("norm")
+        ).alias("u"),
+    )
+    for m in range(n_sub):
+        unit = unit.withColumn(
+            f"f{m}", array_to_vector(F.slice("u", m * d_sub + 1, d_sub))
+        )
+    corpus = unit.where(F.col("vec_id") >= N_QUERIES)
+
+    coded = corpus
+    center_rows = []
+    for m in range(n_sub):
+        model = KMeans(
+            k=n_codes, seed=42 + m, featuresCol=f"f{m}", predictionCol=f"c{m}"
+        ).fit(corpus)
+        coded = model.transform(coded)
+        center_rows += [
+            (m, j, [float(x) for x in c]) for j, c in enumerate(model.clusterCenters())
+        ]
+    centers = spark.createDataFrame(
+        center_rows, "sub int, code int, center array<double>"
+    )
+
+    # per-query ADC lookup table: dot(query subvector, centroid)
+    q = unit.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "u"
+    )
+    lut = (
+        q.crossJoin(F.broadcast(centers))
+        .select(
+            "query_id",
+            "sub",
+            "code",
+            dot(F.slice("u", F.col("sub") * d_sub + 1, d_sub), F.col("center")).alias(
+                "pdot"
+            ),
+        )
+    )
+
+    codes_long = coded.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.posexplode(F.array(*[F.col(f"c{m}") for m in range(n_sub)])).alias(
+            "sub", "code"
+        ),
+    )
+    adc = (
+        codes_long.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("pdot").alias("adc"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.desc("adc"), "neighbor_id")
+    short = adc.withColumn("sr", F.row_number().over(ws)).where(
+        F.col("sr") <= shortlist
+    )
+
+    # exact re-rank of the shortlist on unit vectors (dot == cosine)
+    qv = q.select("query_id", F.col("u").alias("qu"))
+    cv = unit.select(F.col("vec_id").alias("neighbor_id"), F.col("u").alias("cu"))
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        short.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cos", dot(F.col("qu"), F.col("cu")))
+        .withColumn("rank", F.row_number().over(wr))
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "rank", "neighbor_id", F.round("cos", 2).alias("cosine"))
         .orderBy("query_id", "rank")

@@ -85,3 +85,21 @@ def test_e18_approx_distinct_error_bound(spark):
     assert set(approx) == set(exact)
     for et, n in exact.items():
         assert abs(approx[et] - n) <= max(2, 0.10 * n), (et, approx[et], n)
+
+
+def test_pq_adc_rerank_recall(spark):
+    """PQ retrieve-then-rerank: ADC over per-subspace codebooks builds
+    the shortlist, exact cosine re-ranks it — recall should beat the
+    coarse-only IVF probe because the shortlist is wide and the final
+    order is exact."""
+    from dask_distributed_vanilla_spark.operators.similarity import ann_pq_search
+
+    exact = {
+        (r.query_id, r.neighbor_id) for r in ann_cosine_topk(spark, SF_SMOKE).collect()
+    }
+    pq = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_pq_search(spark, SF_SMOKE).collect()
+    }
+    recall = len(exact & pq) / len(exact)
+    assert recall >= 0.5, f"PQ recall {recall:.2f}"
