@@ -462,6 +462,45 @@ FROM chunks GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1
 """
 
 
+WEIGHTED_K = 40  # sample size for the weighted draw
+
+
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis):
+    each doc gets priority u^(1/w) — here equivalently ordered by
+    ln(u)/w — with weight w = n_chars and u a deterministic uniform;
+    the global top-{K} by priority IS an exact weighted sample.
+
+    This is the one-pass distributed algorithm for weighted draws: no
+    rejection loop, no sequential scan — priorities are a pure column
+    expression and the draw is a TakeOrderedAndProject, so it costs the
+    same as any top-k at 100 TB. The uniform comes from a Knuth
+    multiplicative hash of doc_id (engine-portable integer arithmetic,
+    no RNG state), so the sample is reproducible across runs and
+    engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) + 1) / F.lit(
+        4294967296.0
+    )
+    priority = F.log(u) / F.col("n_chars")  # max u^(1/w) == max ln(u)/w
+    return (
+        docs.select("doc_id", "lang", "n_chars", F.round(priority, 10).alias("pri"))
+        .orderBy(F.desc("pri"), "doc_id")
+        .limit(WEIGHTED_K)
+    )
+
+
+SAMPLE_WEIGHTED_SQL = f"""
+SELECT doc_id, lang, n_chars,
+       ROUND(ln(((doc_id * 2654435761) % 4294967296 + 1) / 4294967296.0)
+             / n_chars, 10) AS pri
+FROM documents
+ORDER BY pri DESC, doc_id
+LIMIT {WEIGHTED_K}
+"""
+
+
 # Per-language character budgets for the training-mix draw (the usual
 # practice: upsample high-resource languages by an explicit target mix,
 # not by corpus frequency).
@@ -523,6 +562,7 @@ ORDER BY lang, cum_chars
 
 
 QUERIES = {
+    "sample_weighted": sample_weighted,
     "sample_mixture": sample_mixture,
     "doc_chunks": doc_chunks,
     "redact_pii": redact_pii,
@@ -536,6 +576,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sample_weighted": SAMPLE_WEIGHTED_SQL,
     "sample_mixture": SAMPLE_MIXTURE_SQL,
     "doc_chunks": DOC_CHUNKS_SQL,
     "redact_pii": REDACT_PII_SQL,

@@ -735,7 +735,85 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def e24_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates per group: slope and intercept of
+    value ~ day-of-month per event type (regr_slope / regr_intercept —
+    the OLS family, one partial+final pass like any sum-of-products
+    moment; completes the statistical aggregates next to e23's
+    corr/covar). Rounded to 4 decimals — the moments are sums of exact
+    small integers and doubles, so cross-engine drift is ULP-level.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x = F.dayofmonth("ts").cast("double")
+    return (
+        ev.select("event_type", F.col("value").alias("y"), x.alias("x"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("regr_slope(y, x)"), 4).alias("slope"),
+            F.round(F.expr("regr_intercept(y, x)"), 4).alias("intercept"),
+        )
+        .orderBy("event_type")
+    )
+
+
+E24_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       ROUND(regr_slope(value, CAST(dayofmonth(ts) AS DOUBLE)), 4) AS slope,
+       ROUND(regr_intercept(value, CAST(dayofmonth(ts) AS DOUBLE)), 4) AS intercept
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def e25_eqdepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of event values — the partner of
+    e16's fixed-width histogram.
+
+    Done the way that scales: decile boundaries from ONE mergeable
+    percentile aggregate (never a global ntile sort, which would funnel
+    every row through a single partition), broadcast back, and each row's
+    bucket is size(filter(bounds, b -> value > b)) — a pure higher-order
+    expression. Two scans, zero wide shuffles beyond the scalar agg.
+    Spark `percentile` and DuckDB `quantile_cont` interpolate
+    identically (verified bit-exact by e10), so bucket edges match.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    qs = [i / 10 for i in range(1, 10)]
+    bounds = ev.agg(
+        F.expr(f"percentile(value, array({','.join(map(str, qs))}))").alias("bs")
+    )
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            F.size(F.filter("bs", lambda b: F.col("value") > b))
+            .cast("long")
+            .alias("bucket"),
+            "value",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+E25_SQL = """
+WITH bounds AS (
+  SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+  FROM events)
+SELECT len(list_filter(bs, b -> value > b)) AS bucket,
+       COUNT(*) AS n, ROUND(MIN(value),2) AS lo, ROUND(MAX(value),2) AS hi
+FROM events, bounds
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
+    "e25_eqdepth": e25_eqdepth,
+    "e24_regression": e24_regression,
     "e23_corr": e23_corr,
     "e22_cube": e22_cube,
     "e21_zscore": e21_zscore,
@@ -760,6 +838,8 @@ QUERIES = {
     "e15_range_window": e15_range_window,
 }
 ORACLES = {
+    "e25_eqdepth": E25_SQL,
+    "e24_regression": E24_SQL,
     "e23_corr": E23_SQL,
     "e22_cube": E22_SQL,
     "e21_zscore": E21_SQL,

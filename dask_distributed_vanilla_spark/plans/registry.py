@@ -87,6 +87,9 @@ _R3_LATE = frozenset({
     "snapshot_diff",
     "e23_corr",
     "dedup_incremental_near",
+    "sample_weighted",
+    "e24_regression",
+    "e25_eqdepth",
 })
 
 

@@ -366,3 +366,16 @@ def test_dedup_incremental_near_no_cartesian_and_antijoin(spark):
     plan = formatted_plan(dedup_incremental_near(spark, SF_SMOKE))
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_e25_eqdepth_no_global_sort(spark):
+    """Equi-depth histogram must NOT lower to a global ntile sort (one
+    partition holding every row): boundaries come from a mergeable
+    scalar aggregate, assignment is a broadcast higher-order expression."""
+    from dask_distributed_vanilla_spark.operators.events import e25_eqdepth
+
+    plan = formatted_plan(e25_eqdepth(spark, SF_SMOKE))
+    assert "Window" not in plan  # no ntile
+    # the one-row bounds side rides a broadcast, never a shuffled product
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
