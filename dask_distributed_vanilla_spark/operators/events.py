@@ -811,7 +811,51 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def e26_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted
+    distinct in each subsequent week — the product-analytics staple
+    (triangle) matrix.
+
+    The cohort assignment is a per-user min (one user_id shuffle with
+    map-side partials), joined back and re-aggregated by (cohort, week)
+    — small keys, so the wide fact shuffles once and the output is
+    cohort-matrix-sized. Retention is exact count-distinct per cell;
+    at extreme user cardinality the HLL twin (e18's sketch) drops in.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    first = (
+        ev.select("user_id", wk.alias("w"))
+        .groupBy("user_id")
+        .agg(F.min("w").alias("cohort"))
+    )
+    return (
+        ev.select("user_id", wk.alias("w"))
+        .join(first, "user_id")
+        .groupBy("cohort", "w")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .withColumn(
+            "weeks_since",
+            F.datediff(F.col("w"), F.col("cohort")).cast("long") / 7,
+        )
+        .select("cohort", F.col("weeks_since").cast("long").alias("weeks_since"), "n_users")
+        .orderBy("cohort", "weeks_since")
+    )
+
+
+E26_SQL = """
+WITH a AS (SELECT user_id, date_trunc('week', ts) AS w FROM events),
+first AS (SELECT user_id, MIN(w) AS cohort FROM a GROUP BY 1)
+SELECT cohort,
+       CAST(date_diff('day', cohort, w) / 7 AS BIGINT) AS weeks_since,
+       COUNT(DISTINCT user_id) AS n_users
+FROM a JOIN first USING (user_id)
+GROUP BY cohort, w ORDER BY cohort, weeks_since
+"""
+
+
 QUERIES = {
+    "e26_retention": e26_retention,
     "e25_eqdepth": e25_eqdepth,
     "e24_regression": e24_regression,
     "e23_corr": e23_corr,
@@ -838,6 +882,7 @@ QUERIES = {
     "e15_range_window": e15_range_window,
 }
 ORACLES = {
+    "e26_retention": E26_SQL,
     "e25_eqdepth": E25_SQL,
     "e24_regression": E24_SQL,
     "e23_corr": E23_SQL,

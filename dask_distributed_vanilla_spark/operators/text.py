@@ -371,7 +371,52 @@ FROM ranked WHERE rank <= {BM25_TOP_DOCS} ORDER BY term, rank
 """
 
 
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus' own
+    unigram LM — the self-trained stand-in for the perplexity filter of
+    a CCNet-style quality pipeline (low mean log-prob ⇔ rare-token-heavy
+    ⇔ likely noise).
+
+    Three narrow shuffles, all on small keys: token counts (map-side
+    combined), the token→probability join (the LM table is vocabulary-
+    sized — broadcastable for any real vocabulary), and the per-doc mean.
+    The corpus total rides a broadcast scalar, so no driver round-trips.
+    """
+    toks = (
+        _with_words(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", F.explode("w").alias("tok"))
+    )
+    lm = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    total = lm.agg(F.sum("tf").alias("n_total"))
+    scored = (
+        toks.join(F.broadcast(lm), "tok")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.log(F.col("tf") / F.col("n_total")).alias("lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("lp"), 4).alias("mean_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_UNIGRAM_LOGPROB_SQL = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+lm AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY 1),
+total AS (SELECT SUM(tf) AS n_total FROM lm)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(AVG(ln(tf * 1.0 / n_total)), 4) AS mean_logprob
+FROM toks JOIN lm USING (tok), total
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "text_unigram_logprob": text_unigram_logprob,
     "text_bm25": text_bm25,
     "text_stats": text_stats,
     "text_quality": text_quality,
@@ -383,6 +428,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_unigram_logprob": TEXT_UNIGRAM_LOGPROB_SQL,
     "text_bm25": TEXT_BM25_SQL,
     "text_stats": TEXT_STATS_SQL,
     "text_quality": TEXT_QUALITY_SQL,

@@ -90,6 +90,8 @@ _R3_LATE = frozenset({
     "sample_weighted",
     "e24_regression",
     "e25_eqdepth",
+    "e26_retention",
+    "text_unigram_logprob",
 })
 
 
