@@ -854,7 +854,49 @@ GROUP BY cohort, w ORDER BY cohort, weeks_since
 """
 
 
+def e27_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each observation is
+    weighted by how long it remained current — the correct mean for
+    irregularly-sampled series, where the arithmetic mean over-weights
+    bursts. Weight = seconds until the next event (lead over the same
+    (user_id, ts) order the sessionizer uses); the final observation
+    carries zero weight, dropping out of both numerator and denominator.
+
+    One user_id shuffle serves the lead window and the per-user
+    aggregate — the same single-shuffle contract as e5/e21.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dt = (
+        F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    ).cast("double")
+    return (
+        ev.select("user_id", "value", dt.alias("dt"))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 2).alias("twap"),
+            F.round(F.avg("value"), 2).alias("plain_avg"),
+        )
+        .orderBy("user_id")
+    )
+
+
+E27_SQL = """
+WITH d AS (
+  SELECT user_id, value,
+         CAST(date_diff('microseconds', ts,
+              LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+              AS DOUBLE) AS dt
+  FROM events)
+SELECT user_id,
+       ROUND(SUM(value * dt) / SUM(dt), 2) AS twap,
+       ROUND(AVG(value), 2) AS plain_avg
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
+    "e27_twap": e27_twap,
     "e26_retention": e26_retention,
     "e25_eqdepth": e25_eqdepth,
     "e24_regression": e24_regression,
@@ -882,6 +924,7 @@ QUERIES = {
     "e15_range_window": e15_range_window,
 }
 ORACLES = {
+    "e27_twap": E27_SQL,
     "e26_retention": E26_SQL,
     "e25_eqdepth": E25_SQL,
     "e24_regression": E24_SQL,

@@ -140,10 +140,74 @@ FROM deg
 """
 
 
+def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association over the co-purchase graph: for every
+    pair of part types bought by the same customer, support counts and
+    lift = P(a,b) / (P(a)·P(b)) — lift > 1 marks types bought together
+    more than independence predicts.
+
+    The basket table reduces to distinct (customer, type) FIRST — the
+    projection that keeps the pair self-join bounded by basket size
+    (6 types here; with a real item catalog the same plan bounds pair
+    work per customer by their distinct-item count, and frequent-itemset
+    pruning drops singleton items before pairing). Counts are exact;
+    the only join wider than the dimension is keyed on customer.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    baskets = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("p_type").alias("t"))
+        .distinct()
+    )
+    n_cust = baskets.select("cust").distinct().count()
+    supp = baskets.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.cust") == F.col("b.cust")) & (F.col("a.t") < F.col("b.t")))
+        .groupBy(F.col("a.t").alias("type_a"), F.col("b.t").alias("type_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    sa = supp.select(F.col("t").alias("type_a"), F.col("n").alias("n_a"))
+    sb = supp.select(F.col("t").alias("type_b"), F.col("n").alias("n_b"))
+    lift = (F.col("n_ab") * F.lit(n_cust)) / (F.col("n_a") * F.col("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select("type_a", "type_b", "n_ab", F.round(lift, 3).alias("lift"))
+        .orderBy("type_a", "type_b")
+    )
+
+
+BASKET_LIFT_SQL = """
+WITH baskets AS (
+  SELECT DISTINCT o_custkey AS cust, p_type AS t
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey),
+n AS (SELECT COUNT(DISTINCT cust) AS n_cust FROM baskets),
+supp AS (SELECT t, COUNT(*) AS n FROM baskets GROUP BY 1),
+pairs AS (
+  SELECT a.t AS type_a, b.t AS type_b, COUNT(*) AS n_ab
+  FROM baskets a JOIN baskets b ON a.cust = b.cust AND a.t < b.t
+  GROUP BY 1, 2)
+SELECT type_a, type_b, n_ab,
+       ROUND(n_ab * 1.0 * n_cust / (sa.n * sb.n), 3) AS lift
+FROM pairs
+JOIN supp sa ON sa.t = type_a
+JOIN supp sb ON sb.t = type_b, n
+ORDER BY type_a, type_b
+"""
+
+
 QUERIES = {
     "graph_triangles": graph_triangles,
+    "basket_lift": basket_lift,
 }
 
 ORACLES = {
     "graph_triangles": GRAPH_TRIANGLES_SQL,
+    "basket_lift": BASKET_LIFT_SQL,
 }

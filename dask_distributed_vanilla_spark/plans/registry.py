@@ -92,6 +92,8 @@ _R3_LATE = frozenset({
     "e25_eqdepth",
     "e26_retention",
     "text_unigram_logprob",
+    "e27_twap",
+    "basket_lift",
 })
 
 
