@@ -895,7 +895,154 @@ FROM d GROUP BY 1 ORDER BY 1
 """
 
 
+def e28_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization: a >30-minute silence starts a new
+    session (the batch twin of stream_session's
+    ``applyInPandasWithState`` sessionizer; reference surface =
+    dask's groupby-apply sessionize idiom over an ordered frame).
+
+    Classic two-window composition over ONE user_id shuffle: lag() marks
+    gap starts, a running sum() over the same (user_id, ts) order turns
+    marks into session ordinals, and the per-session rollup groups on
+    (user_id, sess_seq) — a prefix of the window key, so no second
+    shuffle is needed. Per-user state is one task's worth of rows: the
+    shape scales with users, the same contract as e5/e21/e27.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = ev.select(
+        "user_id",
+        "ts",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "sess_seq"
+        ),
+    )
+    return (
+        sess.groupBy("user_id", "sess_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+        )
+        .orderBy("user_id", "sess_seq")
+    )
+
+
+E28_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 30*60*1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_seq
+  FROM flagged)
+SELECT user_id, sess_seq, COUNT(*) AS n_events,
+       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+FROM sess GROUP BY 1,2 ORDER BY 1,2
+"""
+
+
+def e29_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: count and conditional probability of (this event type →
+    next event type) — the sequence statistic behind next-action
+    modeling and funnel discovery.
+
+    lead() rides the same (user_id, ts) shuffle as the sessionizer; the
+    (src, dst) count is a tiny |types|² aggregate, and the row-normalizer
+    is a window over src on that already-small result — the expensive
+    shuffle happens once, on the fact table, keyed by user.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    wsrc = Window.partitionBy("src")
+    return (
+        counts.select(
+            "src",
+            "dst",
+            "n",
+            F.round(F.col("n") / F.sum("n").over(wsrc), 4).alias("p"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+E29_SQL = """
+WITH nxt AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events)
+SELECT src, dst, COUNT(*) AS n,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY src), 4) AS p
+FROM nxt WHERE dst IS NOT NULL GROUP BY 1,2 ORDER BY 1,2
+"""
+
+
+def e30_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event type: clip `value` to the group's
+    [p05, p95] before averaging — the robust-mean treatment applied to
+    heavy-tailed metrics before they feed a dashboard or a reward model.
+
+    Two-pass shape: pass 1 computes exact per-group percentile bounds
+    (a |types|-row result), pass 2 broadcast-joins the bounds back onto
+    the fact table and clips with greatest/least — pure codegen'd column
+    arithmetic, no window, no second wide shuffle. At 100 TB the bounds
+    side stays tiny regardless of fact-table size; swap the exact
+    percentile for approx_percentile when the group count itself
+    explodes (same plan shape, see e10's twin pair).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clipped = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias("wv"),
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 4).alias("raw_mean"),
+            F.round(F.avg("wv"), 4).alias("winsor_mean"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+E30_SQL = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY 1)
+SELECT e.event_type,
+       ROUND(AVG(e.value), 4) AS raw_mean,
+       ROUND(AVG(LEAST(GREATEST(e.value, b.lo), b.hi)), 4) AS winsor_mean,
+       COUNT(*) AS n
+FROM events e JOIN b USING (event_type)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
+    "e28_sessionize": e28_sessionize,
+    "e29_transitions": e29_transitions,
+    "e30_winsorize": e30_winsorize,
     "e27_twap": e27_twap,
     "e26_retention": e26_retention,
     "e25_eqdepth": e25_eqdepth,
@@ -924,6 +1071,9 @@ QUERIES = {
     "e15_range_window": e15_range_window,
 }
 ORACLES = {
+    "e28_sessionize": E28_SQL,
+    "e29_transitions": E29_SQL,
+    "e30_winsorize": E30_SQL,
     "e27_twap": E27_SQL,
     "e26_retention": E26_SQL,
     "e25_eqdepth": E25_SQL,

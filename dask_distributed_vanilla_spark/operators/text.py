@@ -415,7 +415,49 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the inverted index (term → sorted posting list + document
+    frequency) for mid-frequency terms (2 ≤ df ≤ 50) — the retrieval
+    structure behind decontamination lookups and BM25 serving.
+
+    One explode + distinct + term-keyed aggregate: the term shuffle
+    carries only (term, doc_id) pairs, never text. The df band-pass
+    drops both hapax noise and stop-words, which is also the scale
+    guard: a stop-word's posting list at 100 TB is the whole corpus —
+    banding caps postings exactly like dedup's DF_CAP caps shingles.
+    The list is emitted as a comma-joined string so the result is
+    flat-schema (and the oracle comparable).
+    """
+    t = _with_words(load_table(spark, sf_dir, "documents"))
+    return (
+        t.select("doc_id", F.explode("w").alias("term"))
+        .distinct()
+        .groupBy("term")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+        .select(
+            "term",
+            F.size("docs").cast("bigint").alias("df"),
+            F.array_join(F.col("docs").cast("array<string>"), ",").alias("postings"),
+        )
+        .where((F.col("df") >= 2) & (F.col("df") <= 50))
+        .orderBy("term")
+    )
+
+
+TEXT_INVERTED_INDEX_SQL = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+idx AS (
+  SELECT term, COUNT(*) AS df,
+         array_to_string(list_sort(list(doc_id)), ',') AS postings
+  FROM toks GROUP BY term)
+SELECT term, df, postings FROM idx
+WHERE df BETWEEN 2 AND 50 ORDER BY term
+"""
+
+
 QUERIES = {
+    "text_inverted_index": text_inverted_index,
     "text_unigram_logprob": text_unigram_logprob,
     "text_bm25": text_bm25,
     "text_stats": text_stats,
@@ -428,6 +470,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_inverted_index": TEXT_INVERTED_INDEX_SQL,
     "text_unigram_logprob": TEXT_UNIGRAM_LOGPROB_SQL,
     "text_bm25": TEXT_BM25_SQL,
     "text_stats": TEXT_STATS_SQL,

@@ -43,9 +43,9 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # row first (in module order) and the CORRECTNESS_r02 greens last —
     # the greens that still land inside the window (stream_e1 + the
     # dedup family, changed this round) get a fresh row.
-    from dask_distributed_vanilla_spark.operators import graph, lakehouse
+    from dask_distributed_vanilla_spark.operators import er, graph, lakehouse
 
-    mods = [tpch_full, events_stream, curation, dedup, events, tpch, asof, similarity, text, multimodal, lakehouse, graph]
+    mods = [tpch_full, events_stream, curation, dedup, events, tpch, asof, similarity, text, multimodal, lakehouse, graph, er]
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
     for mod in mods:
@@ -94,6 +94,12 @@ _R3_LATE = frozenset({
     "text_unigram_logprob",
     "e27_twap",
     "basket_lift",
+    "e28_sessionize",
+    "e29_transitions",
+    "e30_winsorize",
+    "er_blocking",
+    "er_match_pairs",
+    "text_inverted_index",
 })
 
 

@@ -379,3 +379,62 @@ def test_e25_eqdepth_no_global_sort(spark):
     # the one-row bounds side rides a broadcast, never a shuffled product
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_e28_sessionize_single_user_shuffle(spark):
+    """lag + running sum + per-session rollup ride ONE user_id shuffle:
+    the session groupBy keys on a prefix of the window partitioning so
+    only the output sort adds an exchange."""
+    from dask_distributed_vanilla_spark.operators.events import e28_sessionize
+
+    plan = formatted_plan(e28_sessionize(spark, SF_SMOKE))
+    assert plan.count("Exchange (") == 2  # user_id shuffle + output sort
+
+
+def test_e29_transitions_fact_shuffle_once(spark):
+    """The fact table shuffles once (user window); the normalizer window
+    runs on the |types|^2 aggregate, never back on the facts."""
+    from dask_distributed_vanilla_spark.operators.events import e29_transitions
+
+    plan = formatted_plan(e29_transitions(spark, SF_SMOKE))
+    assert plan.count("Window (") == 2
+    # windows must be separated by the shrinking aggregate
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_e30_winsorize_bounds_broadcast(spark):
+    """The per-group percentile bounds broadcast back onto the fact
+    table — clipping is codegen'd column arithmetic, not a window."""
+    from dask_distributed_vanilla_spark.operators.events import e30_winsorize
+
+    plan = formatted_plan(e30_winsorize(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_er_blocking_is_hash_join_not_cartesian(spark):
+    """Blocked ER must execute as an equi-join on the block key with the
+    inequality + edit-distance as residual predicates — never a
+    cartesian pair enumeration."""
+    from dask_distributed_vanilla_spark.operators.er import er_blocking, er_match_pairs
+
+    for q in (er_blocking, er_match_pairs):
+        plan = formatted_plan(q(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_inverted_index_shuffles_pairs_not_text(spark):
+    """The term shuffle carries (term, doc_id) pairs only: the text
+    column is pruned right after the explode, before any exchange."""
+    from dask_distributed_vanilla_spark.operators.text import text_inverted_index
+
+    df = text_inverted_index(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "Exchange" in plan
+    # text never appears in an exchange's output attribute list
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line
