@@ -1039,7 +1039,191 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def e31_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join without a nested-loop: correlate per-user
+    activity sessions with per-type burst windows (hours where a type
+    fired >N times), counting bursts each session overlaps.
+
+    The naive `a.start <= b.end AND b.start <= a.end` theta-join lowers
+    to BroadcastNestedLoopJoin — quadratic, a 100 TB killer. Instead the
+    sessions explode over the hour buckets they span (bounded: sessions
+    are gap-bounded and short) and bursts live inside a single hour by
+    construction, so the join is an EQUI-join on (hour) with the exact
+    overlap predicate left as a residual. Same bucketing trick as
+    e12_proximity's banded join, lifted to variable-length intervals.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = (
+        ev.select(
+            "user_id",
+            "ts",
+            F.sum(new_sess)
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("sess_seq"),
+        )
+        .groupBy("user_id", "sess_seq")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    burst = (
+        ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts").alias("b_start"),
+            F.max("ts").alias("b_end"),
+        )
+        .where(F.col("n") >= 3)
+    )
+    hours = F.sequence(
+        F.date_trunc("hour", F.col("s_start")),
+        F.date_trunc("hour", F.col("s_end")),
+        F.expr("interval 1 hour"),
+    )
+    exploded = sess.select(
+        "user_id", "sess_seq", "s_start", "s_end", F.explode(hours).alias("h")
+    )
+    return (
+        exploded.join(burst, "h")
+        .where(
+            (F.col("s_start") <= F.col("b_end")) & (F.col("b_start") <= F.col("s_end"))
+        )
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_bursts"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+E31_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 30*60*1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_seq
+  FROM flagged
+), sess AS (
+  SELECT user_id, sess_seq, MIN(ts) AS s_start, MAX(ts) AS s_end
+  FROM numbered GROUP BY 1, 2
+), burst AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n,
+         MIN(ts) AS b_start, MAX(ts) AS b_end
+  FROM events GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+SELECT s.user_id, b.event_type, COUNT(*) AS n_bursts
+FROM sess s JOIN burst b
+  ON s.s_start <= b.b_end AND b.b_start <= s.s_end
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def e32_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily resample with forward fill: project each user's
+    irregular series onto a regular daily grid carrying the last
+    observed value forward — the gap-filling pass before any
+    fixed-frequency model sees the data.
+
+    The grid generates distributively (sequence() + explode over each
+    user's own [min, max] span — no driver-side calendar, no global
+    grid); the day's closing value is a max_by aggregate; the fill is
+    `last(ignorenulls)` over the user window. Grid rows ∝ Σ user spans,
+    and every stage keys on user_id, so the whole plan rides the same
+    partitioning contract as the session/TWAP family.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+        ).alias("d"),
+    )
+    closing = (
+        ev.groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(
+            F.expr("max_by(value, struct(ts, event_id))").alias("close"),
+        )
+    )
+    wfill = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(closing, ["user_id", "d"], "left")
+        .select(
+            "user_id",
+            "d",
+            F.round(F.last("close", ignorenulls=True).over(wfill), 2).alias("filled"),
+            F.col("close").isNotNull().alias("observed"),
+        )
+        .orderBy("user_id", "d")
+    )
+
+
+E32_SQL = """
+WITH span AS (
+  SELECT user_id, date_trunc('day', MIN(ts)) AS d0, date_trunc('day', MAX(ts)) AS d1
+  FROM events GROUP BY 1
+), grid AS (
+  SELECT user_id, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS d FROM span
+), ranked AS (
+  SELECT user_id, date_trunc('day', ts) AS d, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), closing AS (
+  SELECT user_id, d, value AS close FROM ranked WHERE rn = 1)
+SELECT g.user_id, g.d,
+       ROUND(LAST_VALUE(c.close IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.d
+             ROWS UNBOUNDED PRECEDING), 2) AS filled,
+       c.close IS NOT NULL AS observed
+FROM grid g LEFT JOIN closing c ON g.user_id = c.user_id AND g.d = c.d
+ORDER BY 1, 2
+"""
+
+
+def sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct-user rollup via Apache DataSketches HLL:
+    per-(event_type, day) sketches union upward to per-type totals in
+    one pass — the mergeable-sketch architecture that lets a 100 TB
+    cube answer distinct-counts at every rollup level without
+    re-scanning facts (exact count-distinct is NOT re-aggregatable:
+    day-level exact counts cannot be summed into a month).
+
+    `hll_sketch_agg` partials merge associatively map-side; the
+    fine-grained sketches then `hll_union_agg` into the coarse level.
+    Rows-only oracle (sketch estimates are engine-specific); the
+    estimate-vs-exact bound is pinned in pytest instead.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx_users"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
+    "e31_interval_join": e31_interval_join,
+    "e32_resample_ffill": e32_resample_ffill,
+    "sketch_rollup": sketch_rollup,
     "e28_sessionize": e28_sessionize,
     "e29_transitions": e29_transitions,
     "e30_winsorize": e30_winsorize,
@@ -1071,6 +1255,9 @@ QUERIES = {
     "e15_range_window": e15_range_window,
 }
 ORACLES = {
+    "e31_interval_join": E31_SQL,
+    "e32_resample_ffill": E32_SQL,
+    "sketch_rollup": None,  # HLL sketch estimates are engine-specific; bound-tested in pytest
     "e28_sessionize": E28_SQL,
     "e29_transitions": E29_SQL,
     "e30_winsorize": E30_SQL,

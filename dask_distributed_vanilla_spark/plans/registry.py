@@ -100,6 +100,9 @@ _R3_LATE = frozenset({
     "er_blocking",
     "er_match_pairs",
     "text_inverted_index",
+    "e31_interval_join",
+    "e32_resample_ffill",
+    "sketch_rollup",
 })
 
 

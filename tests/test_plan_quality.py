@@ -438,3 +438,34 @@ def test_inverted_index_shuffles_pairs_not_text(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text" not in line
+
+
+def test_e31_interval_join_is_bucketed_equi_join(spark):
+    """The interval-overlap join must lower to an equi-join on the hour
+    bucket with the overlap predicate residual — never a
+    nested-loop over (sessions x bursts)."""
+    from dask_distributed_vanilla_spark.operators.events import e31_interval_join
+
+    plan = formatted_plan(e31_interval_join(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_e32_resample_grid_is_distributed(spark):
+    """The daily grid generates executor-side (sequence + explode per
+    user span): no Python eval, and the fill window keys on user_id."""
+    from dask_distributed_vanilla_spark.operators.events import e32_resample_ffill
+
+    plan = formatted_plan(e32_resample_ffill(spark, SF_SMOKE))
+    assert "Generate" in plan  # explode(sequence(...)) runs in the plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sketch_rollup_two_level_aggregate(spark):
+    """Sketch build and sketch union are both hash aggregates (partial +
+    final): the mergeable path, no window, no join."""
+    from dask_distributed_vanilla_spark.operators.events import sketch_rollup
+
+    plan = formatted_plan(sketch_rollup(spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 4  # two levels x partial/final

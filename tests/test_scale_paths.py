@@ -103,3 +103,25 @@ def test_pq_adc_rerank_recall(spark):
     }
     recall = len(exact & pq) / len(exact)
     assert recall >= 0.5, f"PQ recall {recall:.2f}"
+
+
+def test_sketch_rollup_union_matches_exact_within_bound(spark):
+    """The per-day sketches unioned to per-type must estimate within the
+    HLL error envelope of the exact distinct count — this is the
+    re-aggregation property (day sketches → type totals) that exact
+    counts do not have."""
+    from dask_distributed_vanilla_spark.operators.events import sketch_rollup
+
+    approx = {
+        r.event_type: r.approx_users for r in sketch_rollup(spark, SF_SMOKE).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in spark.sql(
+            f"SELECT event_type, count(DISTINCT user_id) AS n FROM "
+            f"parquet.`{SF_SMOKE}/events.parquet` GROUP BY 1"
+        ).collect()
+    }
+    assert set(approx) == set(exact)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(2, 0.05 * n), (et, approx[et], n)
