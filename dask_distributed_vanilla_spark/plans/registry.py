@@ -103,6 +103,7 @@ _R3_LATE = frozenset({
     "e31_interval_join",
     "e32_resample_ffill",
     "sketch_rollup",
+    "graph_pagerank",
 })
 
 

@@ -125,3 +125,18 @@ def test_sketch_rollup_union_matches_exact_within_bound(spark):
     assert set(approx) == set(exact)
     for et, n in exact.items():
         assert abs(approx[et] - n) <= max(2, 0.05 * n), (et, approx[et], n)
+
+
+def test_pagerank_mass_conserved(spark):
+    """With no dangling nodes (undirected graph), total rank mass is
+    exactly 1, so the mean-normalized ranks must sum to n — the
+    invariant that catches a dropped-contribution or double-count bug
+    in the iterative join."""
+    from dask_distributed_vanilla_spark.operators.graph import graph_pagerank
+
+    rows = graph_pagerank(spark, SF_SMOKE).collect()
+    n = len(rows)
+    assert n > 0
+    total = sum(r.pr for r in rows)
+    assert abs(total - n) < 0.01 * n
+    assert all(r.pr > 0 for r in rows)
