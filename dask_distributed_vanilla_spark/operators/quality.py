@@ -1,0 +1,195 @@
+"""Data-quality auditing and column profiling (the expectations /
+ANALYZE surface of the engine).
+
+A pipeline feeding a 100 TB training run needs machine-checkable data
+contracts at ingest: uniqueness of keys, referential integrity between
+fact and dimension, domain ranges, null budgets — and per-column
+statistics (the ANALYZE pass) to drive its own planning and drift
+alerts. Both run as ordinary DataFrame plans: every expectation is an
+aggregate or anti-join the optimizer can fuse, NOT a driver-side loop
+over rules, so auditing cost is a constant number of scans regardless
+of how many expectations share a table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dask_distributed_vanilla_spark.catalog import load_table
+
+
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation suite over the TPC-H core: one row per check with its
+    violation count (0 = contract holds).
+
+    Same-table checks fuse into ONE conditional aggregate per scan
+    (`sum(case when violated)` — adding a rule adds a column, not a
+    pass); uniqueness is a groupBy-having; referential integrity is a
+    left-anti join that ships only the key column. The union of
+    check rows is a tiny driver-free concat of 1-row aggregates.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").cast("bigint").alias("n_violations"),
+        )
+
+    # row-domain rules per table, fused into one aggregate pass each
+    viol = F.sum  # alias for readability below
+    order_rules = orders.agg(
+        viol(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("neg_price"),
+        viol(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("null_cust"),
+    )
+    li_rules = li.agg(
+        viol(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1).otherwise(0)
+        ).alias("qty_range"),
+        viol(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1).otherwise(
+                0
+            )
+        ).alias("disc_range"),
+        viol(F.when(F.col("l_shipdate").isNull(), 1).otherwise(0)).alias("null_ship"),
+    )
+    dup_orders = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    orphan_li = (
+        li.select("l_orderkey")
+        .join(orders.select("o_orderkey"), li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    orphan_orders = (
+        orders.select("o_custkey")
+        .join(cust.select("c_custkey"), orders.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    checks = (
+        one("orders_dup_pk", dup_orders)
+        .unionAll(one("lineitem_orphan_fk", orphan_li))
+        .unionAll(one("orders_orphan_custkey", orphan_orders))
+        .unionAll(one("orders_nonpositive_price", order_rules.select(F.col("neg_price").alias("n"))))
+        .unionAll(one("orders_null_custkey", order_rules.select(F.col("null_cust").alias("n"))))
+        .unionAll(one("lineitem_qty_out_of_range", li_rules.select(F.col("qty_range").alias("n"))))
+        .unionAll(one("lineitem_discount_out_of_range", li_rules.select(F.col("disc_range").alias("n"))))
+        .unionAll(one("lineitem_null_shipdate", li_rules.select(F.col("null_ship").alias("n"))))
+    )
+    return checks.orderBy("check_name")
+
+
+DQ_AUDIT_SQL = """
+SELECT * FROM (
+  SELECT 'orders_dup_pk' AS check_name,
+         CAST(COUNT(*) AS BIGINT) AS n_violations
+  FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)
+  UNION ALL
+  SELECT 'lineitem_orphan_fk',
+         CAST(COUNT(*) AS BIGINT)
+  FROM lineitem l WHERE NOT EXISTS
+       (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+  UNION ALL
+  SELECT 'orders_orphan_custkey',
+         CAST(COUNT(*) AS BIGINT)
+  FROM orders o WHERE NOT EXISTS
+       (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+  UNION ALL
+  SELECT 'orders_nonpositive_price',
+         CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'orders_null_custkey',
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem_qty_out_of_range',
+         CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem_discount_out_of_range',
+         CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem_null_shipdate',
+         CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+) ORDER BY check_name
+"""
+
+
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of `orders`: per column — row count,
+    nulls, exact distinct count, lexicographic min/max (values rendered
+    as strings so heterogeneous columns share one result schema).
+
+    One scan: all per-column aggregates compute in a single pass
+    (count_distinct adds its expand, still one scan of the parquet),
+    then unpivot to the (column, stat...) long form — the profile a
+    catalog stores per table/partition for planning and drift checks.
+    At extreme cardinalities the exact distinct swaps for
+    approx_count_distinct (e18's twin) with the same plan shape.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    aggs = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(s).alias(f"{c}__min"),
+            F.max(s).alias(f"{c}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    per_col = [
+        wide.select(
+            F.lit(c).alias("column_name"),
+            F.col(f"{c}__n").cast("bigint").alias("n_rows"),
+            F.col(f"{c}__nulls").cast("bigint").alias("n_nulls"),
+            F.col(f"{c}__distinct").cast("bigint").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_value"),
+            F.col(f"{c}__max").alias("max_value"),
+        )
+        for c in cols
+    ]
+    out = per_col[0]
+    for p in per_col[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("column_name")
+
+
+def _profile_sql() -> str:
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    parts = [
+        f"""
+  SELECT '{c}' AS column_name,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+         MIN(CAST({c} AS VARCHAR)) AS min_value,
+         MAX(CAST({c} AS VARCHAR)) AS max_value
+  FROM orders"""
+        for c in cols
+    ]
+    return "SELECT * FROM (" + " UNION ALL ".join(parts) + ") ORDER BY column_name"
+
+
+DQ_PROFILE_SQL = _profile_sql()
+
+
+QUERIES = {
+    "dq_audit": dq_audit,
+    "dq_profile": dq_profile,
+}
+ORACLES = {
+    "dq_audit": DQ_AUDIT_SQL,
+    "dq_profile": DQ_PROFILE_SQL,
+}

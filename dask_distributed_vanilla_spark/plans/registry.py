@@ -43,9 +43,9 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # row first (in module order) and the CORRECTNESS_r02 greens last —
     # the greens that still land inside the window (stream_e1 + the
     # dedup family, changed this round) get a fresh row.
-    from dask_distributed_vanilla_spark.operators import er, graph, lakehouse
+    from dask_distributed_vanilla_spark.operators import er, graph, lakehouse, quality
 
-    mods = [tpch_full, events_stream, curation, dedup, events, tpch, asof, similarity, text, multimodal, lakehouse, graph, er]
+    mods = [tpch_full, events_stream, curation, dedup, events, tpch, asof, similarity, text, multimodal, lakehouse, graph, er, quality]
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
     for mod in mods:
@@ -104,6 +104,8 @@ _R3_LATE = frozenset({
     "e32_resample_ffill",
     "sketch_rollup",
     "graph_pagerank",
+    "dq_audit",
+    "dq_profile",
 })
 
 

@@ -469,3 +469,15 @@ def test_sketch_rollup_two_level_aggregate(spark):
     plan = formatted_plan(sketch_rollup(spark, SF_SMOKE))
     assert "Join" not in plan
     assert plan.count("HashAggregate") >= 4  # two levels x partial/final
+
+
+def test_dq_audit_anti_joins_ship_keys_only(spark):
+    """Referential-integrity checks are left-anti joins on the key
+    column alone; no check degenerates to a cartesian, and the domain
+    rules fuse into conditional aggregates (no per-rule Python)."""
+    from dask_distributed_vanilla_spark.operators.quality import dq_audit
+
+    plan = formatted_plan(dq_audit(spark, SF_SMOKE))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
