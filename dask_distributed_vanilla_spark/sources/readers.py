@@ -95,12 +95,30 @@ def from_pandas(spark: SparkSession, pdf) -> DataFrame:
     return spark.createDataFrame(pdf)
 
 
-def read_json(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    mode: str = "PERMISSIVE",
+    corrupt_column: str | None = None,
+) -> DataFrame:
     """JSON-lines source (the dd.read_json analog). Pass an explicit
     schema at scale — schema inference reads the data twice and a typo'd
     field silently becomes null with inference, but errors with a
-    declared schema."""
-    reader = spark.read
+    declared schema.
+
+    Malformed-record contract (the part that matters on a 100 TB crawl
+    dump, where some records are ALWAYS broken): ``mode`` is Spark's
+    parser mode — PERMISSIVE (default) nulls unparsable rows,
+    DROPMALFORMED removes them, FAILFAST raises on the first one. With
+    ``corrupt_column`` the raw text of each bad line is quarantined into
+    that column (it must also appear in the schema as a string field),
+    so a later pass can route rejects to a dead-letter sink instead of
+    losing them silently.
+    """
+    reader = spark.read.option("mode", mode)
+    if corrupt_column is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_column)
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)

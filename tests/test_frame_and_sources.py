@@ -266,3 +266,31 @@ def test_python_datasource_dbgen_tbl(spark, tmp_path):
     assert got[1][3] is None  # empty field parsed as NULL
     # one input partition per shard — the parallelism contract
     assert via_pyds.rdd.getNumPartitions() == 2
+
+
+def test_json_malformed_record_contract(spark, tmp_path):
+    """PERMISSIVE quarantines the raw bad line into the corrupt column,
+    DROPMALFORMED removes it, FAILFAST raises — the dead-letter
+    routing contract for dirty crawl dumps."""
+    import pytest
+
+    from dask_distributed_vanilla_spark.sources.readers import read_json
+
+    p = tmp_path / "dirty.jsonl"
+    p.write_text('{"a": 1, "b": "x"}\n{oops not json\n{"a": 3, "b": "z"}\n')
+    schema = "a long, b string, _bad string"
+
+    rows = read_json(
+        spark, str(p), schema=schema, corrupt_column="_bad"
+    ).collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r._bad is not None]
+    assert len(bad) == 1 and bad[0]._bad.startswith("{oops")
+    assert sorted(r.a for r in rows if r.a is not None) == [1, 3]
+
+    kept = read_json(spark, str(p), schema="a long, b string", mode="DROPMALFORMED")
+    assert kept.count() == 2
+
+    with pytest.raises(Exception) as ei:
+        read_json(spark, str(p), schema="a long, b string", mode="FAILFAST").collect()
+    assert "Malformed" in str(ei.value) or "FAILFAST" in str(ei.value)
