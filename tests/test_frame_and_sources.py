@@ -294,3 +294,25 @@ def test_json_malformed_record_contract(spark, tmp_path):
     with pytest.raises(Exception) as ei:
         read_json(spark, str(p), schema="a long, b string", mode="FAILFAST").collect()
     assert "Malformed" in str(ei.value) or "FAILFAST" in str(ei.value)
+
+
+def test_udtf_chunker_equals_explode_plan(spark):
+    """The Python UDTF twin must be row-for-row identical to the
+    explode-based doc_chunks plan — the API-surface escape hatch with
+    the JVM plan pinned as its documented fast path."""
+    from dask_distributed_vanilla_spark.functions.udtfs import chunk_documents_udtf
+    from dask_distributed_vanilla_spark.operators.curation import doc_chunks
+    from tests.conftest import SF_SMOKE
+
+    from dask_distributed_vanilla_spark.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    got = sorted(
+        (r.doc_id, r.chunk_idx, r.n_tokens, r.chunk_text)
+        for r in chunk_documents_udtf(spark, docs).collect()
+    )
+    want = sorted(
+        (r.doc_id, r.chunk_idx, r.n_tokens, r.chunk_text)
+        for r in doc_chunks(spark, SF_SMOKE).collect()
+    )
+    assert got == want and len(got) > 0
