@@ -106,6 +106,7 @@ _R3_LATE = frozenset({
     "graph_pagerank",
     "dq_audit",
     "dq_profile",
+    "stream_approx_distinct",
 })
 
 

@@ -393,6 +393,37 @@ GROUP BY 1,2 ORDER BY 1,2
 """
 
 
+def stream_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged query (rows-only): watermarked daily windows of
+    approximate distinct users per event type — the streaming twin of
+    e18's HLL distinct and the sketch the mergeable rollup
+    (sketch_rollup) serves in batch.
+
+    Exact streaming count-distinct would keep every seen user id in the
+    state store (state ∝ cardinality — unbounded on a 100 TB firehose);
+    the HLL++ aggregate keeps a fixed-size sketch per (type, window)
+    instead, and the watermark expires whole windows. That state-size
+    contract, not the estimate itself, is what this operator pins;
+    the estimate-vs-exact bound is pytest-checked like e18's.
+    """
+    sink = f"stream_hll_{uuid.uuid4().hex[:8]}"
+    with _stream_shuffle(spark, 4):
+        q = (
+            events_stream(spark, sf_dir)
+            .withWatermark("ts", "1 hour")
+            .groupBy("event_type", F.window("ts", "1 day").alias("win"))
+            .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+            .select("event_type", F.col("win.start").alias("w"), "approx_users")
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink).orderBy("event_type", "w")
+
+
 QUERIES = {
     "stream_enrich": stream_enrich,
     "stream_e1": stream_e1,
@@ -401,8 +432,10 @@ QUERIES = {
     "stream_join": stream_join,
     "stream_session": stream_session,
     "stream_stateful": stream_stateful,
+    "stream_approx_distinct": stream_approx_distinct,
 }
 ORACLES = {
+    "stream_approx_distinct": None,  # HLL estimate: rows-only; bound-tested in pytest
     "stream_enrich": STREAM_ENRICH_SQL,
     "stream_e1": STREAM_E1_SQL,
     "stream_sliding": STREAM_SLIDING_SQL,

@@ -109,3 +109,28 @@ def test_foreach_batch_exactly_once_parquet(spark, tmp_path):
     )
     sinks.write_epoch(batch0, 0, out)
     assert spark.read.parquet(out).count() == n_src
+
+
+def test_stream_approx_distinct_error_bound(spark):
+    """The streaming HLL windows must estimate within the sketch's
+    error envelope of the exact batch distinct count per (type, day)."""
+    from dask_distributed_vanilla_spark.streaming.events_stream import (
+        stream_approx_distinct,
+    )
+    from tests.conftest import SF_SMOKE
+
+    approx = {
+        (r.event_type, r.w): r.approx_users
+        for r in stream_approx_distinct(spark, SF_SMOKE).collect()
+    }
+    exact = {
+        (r.event_type, r.w): r.n
+        for r in spark.sql(
+            f"SELECT event_type, date_trunc('day', ts) AS w,"
+            f" count(DISTINCT user_id) AS n FROM"
+            f" parquet.`{SF_SMOKE}/events.parquet` GROUP BY 1, 2"
+        ).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(3, 0.15 * n), (k, approx[k], n)
