@@ -299,3 +299,70 @@ def test_random_date_exprs_match_duckdb(spark_fuzz_scalar, duck, e):
     want = {(r[0], r[1]) for r in duck.execute(sql).fetchall()}
     got = {(r.event_id, r.v) for r in spark_fuzz_scalar.sql(sql).collect()}
     assert got == want, f"\nexpr: {e}"
+
+
+# ---------------------------------------------------------------------------
+# NULL-semantics domain: the TPC-H fixtures carry no NULLs, so aggregate
+# null-skipping, all-NULL groups (SUM -> NULL, COUNT(col) -> 0), NULL
+# group keys collapsing into one group, and three-valued predicate logic
+# never get exercised above. A seeded nullable table closes that hole.
+# ---------------------------------------------------------------------------
+
+NULLABLE_AGGS = ["SUM", "MIN", "MAX", "AVG", "COUNT"]
+N_PREDS = [
+    "x > 5",
+    "x <= 3",
+    "x IS NULL",
+    "x IS NOT NULL",
+    "x > 5 OR k IS NULL",
+    "NOT (x < 8)",          # three-valued: NULL x stays excluded
+    "COALESCE(x, -1) < 0",  # null-coalescing path
+    "1 = 1",
+]
+
+
+@pytest.fixture(scope="module")
+def nullable_views(spark_fuzz, duck):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    pdf = pd.DataFrame(
+        {
+            "k": [None if rng.random() < 0.15 else f"g{rng.integers(0, 5)}" for _ in range(n)],
+            "x": [None if rng.random() < 0.25 else float(rng.integers(0, 11)) for _ in range(n)],
+            "y": [None if rng.random() < 0.5 else float(rng.integers(-5, 6)) for _ in range(n)],
+        }
+    )
+    pdf = pdf.astype({"x": "float64", "y": "float64"})
+    spark_fuzz.createDataFrame(pdf).createOrReplaceTempView("nullable_t")
+    duck.register("nullable_t", pdf)
+    return spark_fuzz, duck
+
+
+@st.composite
+def null_queries(draw):
+    pred = draw(st.sampled_from(N_PREDS))
+    agg_fn = draw(st.sampled_from(NULLABLE_AGGS))
+    agg_col = draw(st.sampled_from(["x", "y"]))
+    count_star = draw(st.booleans())
+    return pred, agg_fn, agg_col, count_star
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(q=null_queries())
+def test_null_semantics_agg_matches_duckdb(nullable_views, q):
+    """NULL group keys group together, aggregates skip NULLs, all-NULL
+    groups yield NULL (except COUNT -> 0), and predicates follow
+    three-valued logic — fuzzed against DuckDB on a seeded table."""
+    sparkf, duckc = nullable_views
+    pred, agg_fn, agg_col, count_star = q
+    cnt = "COUNT(*)" if count_star else f"COUNT({agg_col})"
+    sql = (
+        f"SELECT COALESCE(k, '<null>') AS k, {cnt} AS n, {agg_fn}({agg_col}) AS v "
+        f"FROM nullable_t WHERE {pred} GROUP BY 1"
+    )
+    want = _canon(duckc.execute(sql).fetchall())
+    got = _canon([(r.k, r.n, r.v) for r in sparkf.sql(sql).collect()])
+    assert got == want, f"\nquery: {sql}\nspark: {sorted(got)[:5]}\nduck:  {sorted(want)[:5]}"
