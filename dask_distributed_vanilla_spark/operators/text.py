@@ -456,7 +456,109 @@ WHERE df BETWEEN 2 AND 50 ORDER BY term
 """
 
 
+def text_sparse_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity join: document pairs with
+    cosine ≥ 0.5 over their mid-frequency term vectors — the SPARSE
+    complement to the dense-embedding ANN stack (similarity.py), and the
+    lexical near-dup detector that catches template reuse dense
+    embeddings smooth over.
+
+    Scale shape: candidate pairs come from an equi-join on TERM over the
+    banded postings (2 ≤ df ≤ max(100, 5% of corpus) — the same
+    df band-pass as the inverted index bounds every term's pair
+    fan-out; a stop term would otherwise contribute |corpus|² pairs,
+    and the relative ceiling keeps template terms shared by whole
+    near-dup clusters inside the band as the corpus grows). The dot
+    product is a per-pair SUM over shared terms, norms are per-doc
+    aggregates broadcast back, and only pairs already sharing ≥1 banded
+    term ever materialize — work scales with co-occurrence, never n².
+    The reported result is each document's TOP-1 lexical neighbor (not
+    the full pair set, which is quadratic within a near-dup cluster);
+    the cosine is rounded BEFORE ranking so the cross-engine order is
+    deterministic.
+    """
+    t = _with_words(load_table(spark, sf_dir, "documents"))
+    tok = t.select("doc_id", F.explode("w").alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n"))
+    df = tok.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = t.agg(F.count(F.lit(1)).alias("n_docs"))
+    df_cap = F.greatest(F.lit(100), F.ceil(F.col("n_docs") * 0.05))
+    wts = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .where((F.col("df") >= 2) & (F.col("df") <= df_cap))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("n") * F.log(F.col("n_docs") / F.col("df"))).alias("wt"),
+        )
+    )
+    norms = wts.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm"))
+    a, b = wts.alias("a"), wts.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.wt") * F.col("b.wt")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("nrm_a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nrm_b"))
+    from pyspark.sql import Window
+
+    scored = (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("dot") / (F.col("nrm_a") * F.col("nrm_b")), 3).alias("cos"),
+        )
+        .where(F.col("cos") >= 0.5)
+    )
+    w = Window.partitionBy("doc_a").orderBy(F.desc("cos"), "doc_b")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_a", "doc_b", "cos")
+        .orderBy("doc_a")
+    )
+
+
+TEXT_SPARSE_SIM_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tok AS (SELECT doc_id, UNNEST(w) AS term FROM t),
+tf AS (SELECT doc_id, term, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df
+       FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+wts AS (
+  SELECT tf.doc_id, tf.term, tf.n * ln(nd.n_docs * 1.0 / df.df) AS wt
+  FROM tf JOIN df USING (term), nd
+  WHERE df.df BETWEEN 2 AND GREATEST(100, CAST(ceil(nd.n_docs * 0.05) AS BIGINT))),
+norms AS (SELECT doc_id, sqrt(SUM(wt * wt)) AS nrm FROM wts GROUP BY 1),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.wt * b.wt) AS dot
+  FROM wts a JOIN wts b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+scored AS (
+  SELECT doc_a, doc_b, ROUND(dot / (na.nrm * nb.nrm), 3) AS cos
+  FROM dots
+  JOIN norms na ON na.doc_id = doc_a
+  JOIN norms nb ON nb.doc_id = doc_b
+  WHERE ROUND(dot / (na.nrm * nb.nrm), 3) >= 0.5)
+SELECT doc_a, doc_b, cos FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_a ORDER BY cos DESC, doc_b) = 1
+ORDER BY doc_a
+"""
+
+
 QUERIES = {
+    "text_sparse_sim": text_sparse_sim,
     "text_inverted_index": text_inverted_index,
     "text_unigram_logprob": text_unigram_logprob,
     "text_bm25": text_bm25,
@@ -470,6 +572,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_sparse_sim": TEXT_SPARSE_SIM_SQL,
     "text_inverted_index": TEXT_INVERTED_INDEX_SQL,
     "text_unigram_logprob": TEXT_UNIGRAM_LOGPROB_SQL,
     "text_bm25": TEXT_BM25_SQL,

@@ -107,6 +107,7 @@ _R3_LATE = frozenset({
     "dq_audit",
     "dq_profile",
     "stream_approx_distinct",
+    "text_sparse_sim",
 })
 
 

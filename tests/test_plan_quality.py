@@ -481,3 +481,14 @@ def test_dq_audit_anti_joins_ship_keys_only(spark):
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sparse_sim_candidates_are_term_equi_join(spark):
+    """Sparse cosine candidates come from an equi-join on term over the
+    df-banded postings — no cartesian/BNLJ anywhere, and the pair
+    reduction is a single window top-1, not a re-join."""
+    from dask_distributed_vanilla_spark.operators.text import text_sparse_sim
+
+    plan = formatted_plan(text_sparse_sim(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window (") == 1
