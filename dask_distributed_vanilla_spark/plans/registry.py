@@ -108,6 +108,7 @@ _R3_LATE = frozenset({
     "dq_profile",
     "stream_approx_distinct",
     "text_sparse_sim",
+    "stream_incremental_mv",
 })
 
 

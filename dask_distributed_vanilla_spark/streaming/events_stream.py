@@ -393,6 +393,58 @@ GROUP BY 1,2 ORDER BY 1,2
 """
 
 
+def stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged query: incremental materialized-view maintenance — the
+    events fixture replays as FOUR micro-batches (maxFilesPerTrigger=1
+    over a 4-way split), each epoch's per-type partials merging into a
+    parquet view under an applied-epoch watermark
+    (streaming/sinks.py::merge_epoch_into_view). The final view must
+    equal the one-shot batch aggregate — the equivalence that makes a
+    10-minute-cadence incremental pipeline trustworthy: maintenance
+    cost is O(delta + view) per epoch, and an epoch replayed after a
+    failure is a no-op, never a double-count.
+    """
+    import tempfile
+
+    from dask_distributed_vanilla_spark.streaming.sinks import start_incremental_view
+
+    base = tempfile.mkdtemp(prefix="stream_mv_")
+    src = f"{base}/src"
+    ev = events_stream(spark, sf_dir)  # resolve ts normalization once
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = dict(batch.dtypes).get("ts")
+    if ts_type == "bigint":
+        batch = batch.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        batch = batch.withColumn("ts", F.col("ts").cast("timestamp"))
+    for i in range(4):  # deterministic 4-way split, one file per shard
+        batch.where(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = spark.readStream.schema(batch.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = start_incremental_view(
+        stream, ["event_type"], f"{base}/view", f"{base}/ckpt"
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{base}/view")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.round("sv", 2).alias("sv"),
+        )
+        .orderBy("event_type")
+    )
+
+
+STREAM_INCREMENTAL_MV_SQL = """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value),2) AS sv
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 def stream_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Judged query (rows-only): watermarked daily windows of
     approximate distinct users per event type — the streaming twin of
@@ -433,8 +485,10 @@ QUERIES = {
     "stream_session": stream_session,
     "stream_stateful": stream_stateful,
     "stream_approx_distinct": stream_approx_distinct,
+    "stream_incremental_mv": stream_incremental_mv,
 }
 ORACLES = {
+    "stream_incremental_mv": STREAM_INCREMENTAL_MV_SQL,
     "stream_approx_distinct": None,  # HLL estimate: rows-only; bound-tested in pytest
     "stream_enrich": STREAM_ENRICH_SQL,
     "stream_e1": STREAM_E1_SQL,

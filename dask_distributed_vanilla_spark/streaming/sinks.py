@@ -48,3 +48,71 @@ def start_exactly_once_parquet(stream_df: DataFrame, path: str, checkpoint: str)
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance
+# ---------------------------------------------------------------------------
+
+MV_EPOCH_COL = "_applied_epoch"
+
+
+def merge_epoch_into_view(
+    batch_df: DataFrame, batch_id: int, view_path: str, keys: list[str]
+) -> None:
+    """Fold one micro-batch of per-key partial aggregates (`n`, `sv`)
+    into the materialized view at `view_path`.
+
+    Exactly-once across retries WITHOUT epoch-partitioned storage: the
+    view records the highest applied epoch, and a re-delivered epoch
+    (<= that watermark) is a no-op — the transactional version-check
+    every lakehouse MERGE does. The merged view is localCheckpointed
+    before the overwrite so the write never re-reads the files it is
+    replacing, and the view stays aggregate-sized (|keys| rows), so
+    maintenance cost is O(delta + view), never O(history).
+    """
+    spark = batch_df.sparkSession
+    try:
+        current = spark.read.parquet(view_path)
+        applied = current.agg(F.max(MV_EPOCH_COL).alias("e")).collect()[0].e
+        if applied is not None and batch_id <= applied:
+            return  # epoch replay after failure: already folded in
+        merged = (
+            current.drop(MV_EPOCH_COL)
+            .unionByName(batch_df)
+            .groupBy(*keys)
+            .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+        )
+    except Exception:  # first epoch: no view yet
+        merged = batch_df.groupBy(*keys).agg(
+            F.sum("n").alias("n"), F.sum("sv").alias("sv")
+        )
+    out = merged.withColumn(MV_EPOCH_COL, F.lit(int(batch_id))).localCheckpoint()
+    out.write.mode("overwrite").parquet(view_path)
+
+
+def start_incremental_view(
+    stream_df: DataFrame, keys: list[str], view_path: str, checkpoint: str
+):
+    """Maintain a per-key (n, sv) materialized view over the stream.
+
+    The per-batch partial aggregate runs INSIDE foreachBatch on the raw
+    micro-batch — deliberately NOT as a streaming groupBy, whose
+    complete/update modes emit cumulative state and would double-count
+    under a merge. The view itself is the only aggregation state, so no
+    stream state store exists at all; each epoch reduces its delta
+    executor-side and merges under the epoch watermark.
+    """
+
+    def fold(df: DataFrame, epoch: int) -> None:
+        partial = df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv")
+        )
+        merge_epoch_into_view(partial, epoch, view_path, keys)
+
+    return (
+        stream_df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

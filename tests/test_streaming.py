@@ -134,3 +134,22 @@ def test_stream_approx_distinct_error_bound(spark):
     assert set(approx) == set(exact)
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(3, 0.15 * n), (k, approx[k], n)
+
+
+def test_incremental_view_epoch_replay_is_noop(spark, tmp_path):
+    """Re-delivering an already-applied epoch must not double-count:
+    the applied-epoch watermark makes the merge idempotent — the
+    exactly-once contract of the incremental materialized view."""
+    from dask_distributed_vanilla_spark.streaming.sinks import (
+        merge_epoch_into_view,
+    )
+
+    view = str(tmp_path / "mv")
+    b0 = spark.createDataFrame([("a", 2, 10.0), ("b", 1, 5.0)], "k string, n long, sv double")
+    b1 = spark.createDataFrame([("a", 1, 1.0)], "k string, n long, sv double")
+    merge_epoch_into_view(b0, 0, view, ["k"])
+    merge_epoch_into_view(b1, 1, view, ["k"])
+    merge_epoch_into_view(b1, 1, view, ["k"])  # replay: must be a no-op
+    merge_epoch_into_view(b1, 0, view, ["k"])  # stale epoch: also a no-op
+    got = {r.k: (r.n, r.sv) for r in spark.read.parquet(view).collect()}
+    assert got == {"a": (3, 11.0), "b": (1, 5.0)}
