@@ -316,3 +316,35 @@ def test_udtf_chunker_equals_explode_plan(spark):
         for r in doc_chunks(spark, SF_SMOKE).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_pandas_api_on_spark_parity(spark):
+    """pyspark.pandas runs the reference's pandas-style idiom directly
+    (groupby-agg-sort, Q1 shape) and must agree with the DataFrame-API
+    plan — a dask user can port either to the facade or to the
+    first-party pandas API."""
+    import pyspark.pandas as ps
+    from pyspark.sql import functions as F
+
+    from dask_distributed_vanilla_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    psdf = li.pandas_api()
+    got = (
+        psdf[psdf.l_quantity < 24]
+        .groupby("l_returnflag")
+        .agg(n=("l_orderkey", "count"), qty=("l_quantity", "sum"))
+        .sort_index()
+    )
+    want = {
+        r.l_returnflag: (r.n, r.qty)
+        for r in li.where("l_quantity < 24")
+        .groupBy("l_returnflag")
+        .agg(F.count("l_orderkey").alias("n"), F.sum("l_quantity").alias("qty"))
+        .collect()
+    }
+    got_pd = got.to_pandas()
+    assert set(got_pd.index) == set(want)
+    for flag, row in got_pd.iterrows():
+        assert (int(row["n"]), float(row["qty"])) == (want[flag][0], float(want[flag][1]))
