@@ -70,6 +70,18 @@ class Bag:
     def frequencies(self) -> Bag:
         return Bag(self.rdd.map(lambda x: (x, 1)).reduceByKey(lambda a, b: a + b))
 
+    def distinct(self) -> Bag:
+        return Bag(self.rdd.distinct())
+
+    def pluck(self, key: Any) -> Bag:
+        """Extract a field from each element (dask bag.pluck)."""
+        return Bag(self.rdd.map(lambda x: x[key]))
+
+    def topk(self, k: int, key: Callable[[Any], Any] | None = None) -> list[Any]:
+        """Largest k elements (dask bag.topk): per-partition heaps merged
+        at the driver — only k survivors per partition move."""
+        return self.rdd.top(k, key=key) if key else self.rdd.top(k)
+
     # -- actions / exits ----------------------------------------------------
     def count(self) -> int:
         return self.rdd.count()

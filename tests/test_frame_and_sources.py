@@ -348,3 +348,36 @@ def test_pandas_api_on_spark_parity(spark):
     assert set(got_pd.index) == set(want)
     for flag, row in got_pd.iterrows():
         assert (int(row["n"]), float(row["qty"])) == (want[flag][0], float(want[flag][1]))
+
+
+def test_bag_topk_distinct_pluck(spark):
+    from dask_distributed_vanilla_spark.bag import Bag
+
+    b = Bag.from_sequence(spark, [3, 1, 4, 1, 5, 9, 2, 6, 5], npartitions=3)
+    assert b.topk(3) == [9, 6, 5]
+    assert b.topk(2, key=lambda x: -x) == [1, 1]
+    assert sorted(b.distinct().compute()) == [1, 2, 3, 4, 5, 6, 9]
+    recs = Bag.from_sequence(spark, [{"k": "a"}, {"k": "b"}], npartitions=2)
+    assert sorted(recs.pluck("k").compute()) == ["a", "b"]
+
+
+def test_observe_metrics_accumulate(spark):
+    """df.observe collects named metrics during the action itself — the
+    free row-level observability hook a pipeline attaches to production
+    scans (no second pass over the data)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from dask_distributed_vanilla_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    obs = Observation("scan_stats")
+    li = load_table(spark, SF_SMOKE, "lineitem").observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.when(F.col("l_quantity") > 49, 1).otherwise(0)).alias("suspect"),
+    )
+    n = li.where("l_quantity <= 50").count()
+    got = obs.get
+    assert got["rows_seen"] >= n
+    assert got["suspect"] >= 0
