@@ -527,7 +527,90 @@ FROM n JOIN cn USING (label) ORDER BY n.label
 """
 
 
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 affine quantization audit: quantize each embedding to uint8
+    with a per-vector (min, max) affine map, dequantize, and report the
+    reconstruction error per label — the storage-reduction pass (4×
+    smaller than fp32) every 100 TB embedding corpus runs before
+    serving, with the error report as its acceptance gate.
+
+    All JVM higher-order functions on a single scan: per-vector min/max
+    fold, element-wise transform for quantize→dequantize, mean-abs-error
+    fold, then one |labels|-row aggregate. No shuffle wider than the
+    final group-by, no Python.
+    """
+    from dask_distributed_vanilla_spark.functions.rounding import round2
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lo = F.array_min("embedding")
+    hi = F.array_max("embedding")
+    scale = (hi - lo) / F.lit(255.0)
+    # guard constant vectors: scale 0 → dequant = lo exactly
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.when(
+            F.col("_scale") > 0, F.round((x - F.col("_lo")) / F.col("_scale"))
+        ).otherwise(F.lit(0.0)),
+    )
+    dq = F.transform(
+        F.col("_q"), lambda v: v * F.col("_scale") + F.col("_lo")
+    )
+    err = (
+        emb.withColumn("_lo", lo)
+        .withColumn("_scale", scale)
+        .withColumn("_q", q)
+        .withColumn("_dq", dq)
+        .select(
+            "label",
+            (
+                F.aggregate(
+                    F.zip_with(
+                        "embedding", "_dq", lambda a, b: F.abs(a - b)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.size("embedding")
+            ).alias("mae"),
+        )
+    )
+    return (
+        err.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            round2(F.avg("mae") * 1000).alias("mae_x1000"),
+            round2(F.max("mae") * 1000).alias("max_mae_x1000"),
+        )
+        .orderBy("label")
+    )
+
+
+EMB_QUANTIZE_SQL = """
+WITH q AS (
+  SELECT label,
+         list_min(embedding) AS lo,
+         (list_max(embedding) - list_min(embedding)) / 255.0 AS scale,
+         embedding
+  FROM embeddings),
+d AS (
+  SELECT label,
+         CASE WHEN scale > 0 THEN
+           list_sum(list_transform(
+             list_zip(embedding,
+                      list_transform(embedding,
+                        x -> round((x - lo) / scale) * scale + lo)),
+             p -> abs(p[1] - p[2]))) / len(embedding)
+         ELSE 0.0 END AS mae
+  FROM q)
+SELECT label, COUNT(*) AS n_vecs,
+       FLOOR((AVG(mae) * 1000) * 100 + 0.5) / 100 AS mae_x1000,
+       FLOOR((MAX(mae) * 1000) * 100 + 0.5) / 100 AS max_mae_x1000
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
+    "emb_quantize": emb_quantize,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "embedding_near_dup": embedding_near_dup,
@@ -536,6 +619,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "emb_quantize": EMB_QUANTIZE_SQL,
     "ann_cosine_topk": ANN_COSINE_SQL,
     "ann_lsh_topk": _lsh_sql(),
     "embedding_near_dup": EMB_NEAR_DUP_SQL,

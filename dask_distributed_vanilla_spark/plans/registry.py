@@ -109,6 +109,7 @@ _R3_LATE = frozenset({
     "stream_approx_distinct",
     "text_sparse_sim",
     "stream_incremental_mv",
+    "emb_quantize",
 })
 
 

@@ -159,3 +159,24 @@ def test_zordered_write_clusters_both_dimensions(spark, tmp_path):
     cut = back.approxQuantile("zval", [0.1], 0.01)[0]
     touched = back.where(F.col("zval") <= cut).select("f").distinct().count()
     assert touched <= 2
+
+
+def test_analyze_table_stats_feed_cbo(spark, tmp_path):
+    """saveAsTable + ANALYZE TABLE records row/size stats in the
+    catalog — the statistics surface a cost-based optimizer (and a
+    human) reads; the engine's tables are not a stats black hole."""
+    from dask_distributed_vanilla_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    name = "nation_stats_t"
+    load_table(spark, SF_SMOKE, "nation").write.mode("overwrite").saveAsTable(name)
+    try:
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS n_nationkey")
+        detail = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+        stats = [r for r in detail if r.col_name == "Statistics"]
+        assert stats and "rows" in stats[0].data_type
+        cols = spark.sql(f"DESCRIBE TABLE EXTENDED {name} n_nationkey").collect()
+        kv = {r.info_name: r.info_value for r in cols}
+        assert kv.get("distinct_count") not in (None, "NULL")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
