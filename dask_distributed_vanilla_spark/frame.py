@@ -160,6 +160,28 @@ class Series:
     def count(self):
         return self._scalar(F.count)
 
+    def isna(self) -> Series:
+        return self._wrap(self._col.isNull())
+
+    def notna(self) -> Series:
+        return self._wrap(self._col.isNotNull())
+
+    def fillna(self, value: Any) -> Series:
+        return self._wrap(F.coalesce(self._col, F.lit(value)))
+
+    def value_counts(self):
+        """pandas Series.value_counts — counts desc, then value, as a
+        pandas Series (driver-sized by contract, like unique())."""
+        rows = (
+            self._df.groupBy(self._col.alias("v"))
+            .count()
+            .orderBy(F.desc("count"), "v")
+            .collect()
+        )
+        import pandas as pd
+
+        return pd.Series({r.v: r["count"] for r in rows})
+
     def unique(self):
         """Distinct values (queries.py:706, 710)."""
         return [r[0] for r in self._df.select(self._col.alias("v")).distinct().collect()]
@@ -385,6 +407,33 @@ class Frame:
         ``randomSplit``: one shared per-row draw partitions rows into
         disjoint, exhaustive frames in a single pass."""
         return [Frame(d) for d in self.df.randomSplit(list(frac), seed=random_state)]
+
+    def nsmallest(self, n: int, columns: str | list[str]) -> Frame:
+        cols = [columns] if isinstance(columns, str) else columns
+        return Frame(self.df.orderBy(*cols).limit(n))
+
+    def fillna(self, value) -> Frame:
+        """pandas/dask fillna: a scalar fills every compatible column, a
+        dict fills per column — both lower to Catalyst coalesce."""
+        return Frame(self.df.fillna(value))
+
+    def dropna(self, subset: list[str] | None = None) -> Frame:
+        return Frame(self.df.dropna(subset=subset))
+
+    def query(self, expr: str) -> Frame:
+        """pandas df.query — the string predicate goes straight to the
+        SQL parser, so it stays pushdown-eligible."""
+        return Frame(self.df.where(F.expr(expr)))
+
+    def assign(self, **cols) -> Frame:
+        """pandas df.assign(new=series_or_callable)."""
+        out = self.df
+        for name, val in cols.items():
+            if callable(val):
+                val = val(Frame(out))
+            col = val._col if isinstance(val, Series) else F.lit(val)
+            out = out.withColumn(name, col)
+        return Frame(out)
 
     def head(self, n: int = 5):
         return self.df.limit(n).toPandas()

@@ -381,3 +381,25 @@ def test_observe_metrics_accumulate(spark):
     got = obs.get
     assert got["rows_seen"] >= n
     assert got["suspect"] >= 0
+
+
+def test_frame_pandas_tail_methods(spark):
+    """fillna/dropna/query/assign/nsmallest + Series isna/value_counts —
+    the long tail of pandas idioms a dask port leans on."""
+    import pandas as pd
+
+    from dask_distributed_vanilla_spark import frame as fr
+
+    pdf = pd.DataFrame(
+        {"a": [1.0, None, 3.0, 4.0], "b": ["x", "y", None, "y"], "c": [10, 20, 30, 40]}
+    )
+    f = fr.Frame(spark.createDataFrame(pdf))
+    assert f.fillna(0.0)["a"].sum() == 8.0
+    assert len(f.dropna(subset=["a"])) == 3
+    assert len(f.query("c >= 20 and a is not null")) == 2
+    got = f.assign(d=lambda x: x["c"] * 2).compute()
+    assert sorted(got.d) == [20, 40, 60, 80]
+    assert f.nsmallest(2, "c").compute().c.tolist() == [10, 20]
+    assert f["a"].isna().to_frame("m").compute().m.sum() == 1
+    vc = f["b"].value_counts()
+    assert vc["y"] == 2
