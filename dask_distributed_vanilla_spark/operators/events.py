@@ -1220,7 +1220,48 @@ def sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e33_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of `value`
+    (α=0.9 decay per observation) — the classic smoothing feature for
+    irregular user metrics, reported at each user's LAST event.
+
+    EWMA's recursion unrolls to the closed form
+    Σ v_i·α^(n-i) / Σ α^(n-i), which IS window-expressible: α^(-i)
+    overflows for large i, so both engines compute the numerically
+    stable equivalent Σ v_i·α^(n-i) directly via pow on the row offset
+    from the END of the partition (rank from the right). One user_id
+    shuffle; the final per-user pick is max_by over the same key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    # row 1 = newest event: weight α^(rn-1), bounded in (0, 1]
+    alpha = 0.9
+    wt = F.pow(F.lit(alpha), F.row_number().over(w) - 1)
+    weighted = ev.select(
+        "user_id",
+        (F.col("value") * wt).alias("wv"),
+        wt.alias("wt"),
+    )
+    return (
+        weighted.groupBy("user_id")
+        .agg(F.round(F.sum("wv") / F.sum("wt"), 4).alias("ewma"))
+        .orderBy("user_id")
+    )
+
+
+E33_SQL = """
+WITH r AS (
+  SELECT user_id, value,
+         POW(0.9, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) - 1) AS wt
+  FROM events)
+SELECT user_id, ROUND(SUM(value * wt) / SUM(wt), 4) AS ewma
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
+    "e33_ewma": e33_ewma,
     "e31_interval_join": e31_interval_join,
     "e32_resample_ffill": e32_resample_ffill,
     "sketch_rollup": sketch_rollup,
@@ -1255,6 +1296,7 @@ QUERIES = {
     "e15_range_window": e15_range_window,
 }
 ORACLES = {
+    "e33_ewma": E33_SQL,
     "e31_interval_join": E31_SQL,
     "e32_resample_ffill": E32_SQL,
     "sketch_rollup": None,  # HLL sketch estimates are engine-specific; bound-tested in pytest

@@ -110,6 +110,7 @@ _R3_LATE = frozenset({
     "text_sparse_sim",
     "stream_incremental_mv",
     "emb_quantize",
+    "e33_ewma",
 })
 
 

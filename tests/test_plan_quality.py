@@ -492,3 +492,20 @@ def test_sparse_sim_candidates_are_term_equi_join(spark):
     plan = formatted_plan(text_sparse_sim(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert plan.count("Window (") == 1
+
+
+def test_join_hints_are_honored(spark):
+    """The engine's join-strategy control surface: merge and
+    shuffle_hash hints must override the optimizer's default pick —
+    the operational knob when statistics mislead at scale."""
+    from dask_distributed_vanilla_spark.catalog import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    merged = li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+    assert "SortMergeJoin" in formatted_plan(merged)
+    hashed = li.join(
+        orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey
+    )
+    plan = formatted_plan(hashed)
+    assert "ShuffledHashJoin" in plan
