@@ -162,3 +162,24 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC source (dd.read_orc analog) — same pushdown/pruning contract
     as the parquet scan."""
     return spark.read.orc(path)
+
+
+def read_text(spark: SparkSession, path: str, whole: bool = False) -> DataFrame:
+    """Line-oriented text source (`value` column); ``whole=True`` reads
+    one row per file — the raw-crawl ingest shape before any parsing."""
+    return spark.read.text(path, wholetext=whole)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Opaque-file source (`binaryFile` format): one row per file with
+    (path, modificationTime, length, content) — the ingest path for an
+    image/audio corpus feeding the multimodal operators. The format
+    supports predicate pushdown on the metadata columns (length,
+    modificationTime), so "skip files over 100 MB" prunes BEFORE
+    content bytes are read."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
