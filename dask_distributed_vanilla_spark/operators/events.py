@@ -1260,7 +1260,34 @@ FROM r GROUP BY 1 ORDER BY 1
 """
 
 
+def e34_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap (count + mean value) —
+    the seasonality profile behind load forecasting and anomaly
+    baselines. Pure date-part groupBy: 168 output cells regardless of
+    input size, partial aggregation does all the work map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").cast("bigint").alias("dow"),
+            F.hour("ts").cast("bigint").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("dow", "hod")
+    )
+
+
+E34_SQL = """
+SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hod,
+       COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
+    "e34_seasonality": e34_seasonality,
     "e33_ewma": e33_ewma,
     "e31_interval_join": e31_interval_join,
     "e32_resample_ffill": e32_resample_ffill,
@@ -1296,6 +1323,7 @@ QUERIES = {
     "e15_range_window": e15_range_window,
 }
 ORACLES = {
+    "e34_seasonality": E34_SQL,
     "e33_ewma": E33_SQL,
     "e31_interval_join": E31_SQL,
     "e32_resample_ffill": E32_SQL,

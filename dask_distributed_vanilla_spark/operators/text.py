@@ -557,7 +557,48 @@ ORDER BY doc_a
 """
 
 
+def text_langmix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switching / language-mixing detector: documents whose marker
+    tokens hit ≥2 languages with ≥2 markers each — the docs a
+    monolingual training mix must route to a dedicated pipeline (or
+    drop), and a known failure mode of single-label language ID.
+    Single scan, one HOF count per language, no shuffle beyond the
+    output sort."""
+    t = _with_words(load_table(spark, sf_dir, "documents"))
+    words = F.col("w")
+    scores = {lang: _count_in(words, vocab) for lang, vocab in LANG_MARKERS.items()}
+    n_langs = sum(
+        (F.when(scores[lang] >= 2, 1).otherwise(0) for lang in LANG_MARKERS),
+        F.lit(0),
+    )
+    return (
+        t.select(
+            "doc_id",
+            n_langs.cast("bigint").alias("n_langs"),
+            (n_langs >= 2).alias("is_mixed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _langmix_sql() -> str:
+    score_cols = ", ".join(
+        f"{_sql_count_in(vocab)} AS score_{lang}" for lang, vocab in LANG_MARKERS.items()
+    )
+    n_langs = " + ".join(
+        f"CASE WHEN score_{lang} >= 2 THEN 1 ELSE 0 END" for lang in LANG_MARKERS
+    )
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+s AS (SELECT doc_id, {score_cols} FROM t)
+SELECT doc_id, CAST({n_langs} AS BIGINT) AS n_langs,
+       ({n_langs}) >= 2 AS is_mixed
+FROM s ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "text_langmix": text_langmix,
     "text_sparse_sim": text_sparse_sim,
     "text_inverted_index": text_inverted_index,
     "text_unigram_logprob": text_unigram_logprob,
@@ -572,6 +613,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_langmix": _langmix_sql(),
     "text_sparse_sim": TEXT_SPARSE_SIM_SQL,
     "text_inverted_index": TEXT_INVERTED_INDEX_SQL,
     "text_unigram_logprob": TEXT_UNIGRAM_LOGPROB_SQL,

@@ -111,6 +111,8 @@ _R3_LATE = frozenset({
     "stream_incremental_mv",
     "emb_quantize",
     "e33_ewma",
+    "e34_seasonality",
+    "text_langmix",
 })
 
 
