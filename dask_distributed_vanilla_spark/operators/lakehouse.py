@@ -248,14 +248,81 @@ ORDER BY user_id
 """
 
 
+def tpch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H refresh functions RF1/RF2 (spec §2.27-2.28) in one
+    deterministic maintenance pass: RF2 deletes a key-sampled slice of
+    orders WITH their lineitems (cascading delete via key anti-join),
+    RF1 inserts a transformed copy of another slice under shifted keys
+    (new-sales ingest). The result is the audit row every refresh run
+    must produce: table counts and the price checksum after
+    delete+insert — proving the engine's maintenance half of TPC-H,
+    not just the 22 read queries.
+
+    Scale shape: both the delete and the insert are key-predicate
+    column expressions (no per-row Python); the cascade is ONE anti-join
+    of lineitem against the deleted-order keys; counts/sums fold in a
+    final scalar aggregate. A real lakehouse run lands the same plan
+    through MERGE/DELETE; here the refreshed state is computed as a
+    plan so the oracle can hash it.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    maxkey = orders.agg(F.max("o_orderkey").alias("mk"))
+    del_orders = orders.where(F.col("o_orderkey") % 97 == 0)
+    kept_orders = orders.where(F.col("o_orderkey") % 97 != 0)
+    ins_orders = (
+        orders.where(F.col("o_orderkey") % 89 == 0)
+        .crossJoin(F.broadcast(maxkey))
+        .select(
+            (F.col("o_orderkey") + F.col("mk")).alias("o_orderkey"),
+            "o_custkey",
+            F.col("o_totalprice"),
+        )
+    )
+    new_orders = kept_orders.select("o_orderkey", "o_custkey", "o_totalprice").unionByName(
+        ins_orders
+    )
+    new_li = li.join(
+        del_orders.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_anti",
+    )
+    audit_o = new_orders.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("price_checksum"),
+    )
+    audit_l = new_li.agg(F.count(F.lit(1)).alias("n_lineitems"))
+    return audit_o.crossJoin(audit_l).select(
+        "n_orders", "n_lineitems", "price_checksum"
+    )
+
+
+TPCH_REFRESH_SQL = """
+WITH mk AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+kept AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 97 <> 0),
+ins AS (SELECT o_orderkey + mk.mk AS o_orderkey, o_custkey, o_totalprice
+        FROM orders, mk WHERE o_orderkey % 89 = 0),
+new_orders AS (SELECT * FROM kept UNION ALL SELECT * FROM ins),
+new_li AS (
+  SELECT l_orderkey FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_orderkey = l.l_orderkey AND o.o_orderkey % 97 = 0))
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM new_orders) AS n_orders,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM new_li) AS n_lineitems,
+       (SELECT ROUND(SUM(o_totalprice), 2) FROM new_orders) AS price_checksum
+"""
+
+
 QUERIES = {
     "merge_upsert": merge_upsert,
     "zorder_layout": zorder_layout,
     "snapshot_diff": snapshot_diff,
+    "tpch_refresh": tpch_refresh,
 }
 
 ORACLES = {
     "merge_upsert": MERGE_UPSERT_SQL,
     "zorder_layout": ZORDER_SQL,
     "snapshot_diff": SNAPSHOT_DIFF_SQL,
+    "tpch_refresh": TPCH_REFRESH_SQL,
 }

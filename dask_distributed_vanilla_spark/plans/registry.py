@@ -113,6 +113,7 @@ _R3_LATE = frozenset({
     "e33_ewma",
     "e34_seasonality",
     "text_langmix",
+    "tpch_refresh",
 })
 
 
