@@ -315,7 +315,11 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_distributed_vanilla_spark.streaming.stateful import sessionize_stream
 
     sink = f"stream_stateful_{uuid.uuid4().hex[:8]}"
-    with _stream_shuffle(spark, 4):
+    # Unlike the JVM-stateful streams (4 partitions best: state-store
+    # overhead dominates), the Python fold is CPU-bound per partition —
+    # measured at sf0.1: 1→18.1s, 4→6.2s, 16→5.0s, 32→5.2s. Size to
+    # the Arrow-fold parallelism, not the state-store minimum.
+    with _stream_shuffle(spark, 16):
         q = (
             sessionize_stream(events_stream(spark, sf_dir))
             .writeStream.format("memory")
