@@ -1286,7 +1286,86 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def e35_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B analysis: users split into deterministic arms
+    (user_id parity — the hash-assignment every experiment platform
+    uses), conversion = the user fired the lexicographically-first
+    event type at least 3 times (a non-saturating definition: every
+    user touches every type in the fixture, so mere occurrence would
+    make p=1 and the pooled variance zero);
+    reports per-arm rates and the pooled two-proportion
+    z-statistic — the readout layer of an experimentation system.
+
+    One user-level aggregate (fact table shuffles once on user_id),
+    then a 2-row arm rollup and a scalar z computed by crossing the two
+    1-row arm frames — no window, nothing driver-side.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first_type = ev.agg(F.min("event_type").alias("t"))
+    users = (
+        ev.crossJoin(F.broadcast(first_type))
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum((F.col("event_type") == F.col("t")).cast("int")) >= 3
+            ).cast("int").alias("converted")
+        )
+        .select(
+            (F.col("user_id") % 2).cast("bigint").alias("arm"),
+            "converted",
+        )
+    )
+    arms = users.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+        F.round(F.avg("converted"), 4).alias("rate"),
+    )
+    a = arms.where(F.col("arm") == 0).select(
+        F.col("n_users").alias("n0"),
+        F.col("n_converted").alias("c0"),
+    )
+    b = arms.where(F.col("arm") == 1).select(
+        F.col("n_users").alias("n1"),
+        F.col("n_converted").alias("c1"),
+    )
+    p_pool = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    # degenerate arms (p_pool 0 or 1 — possible at smoke scale) zero
+    # the pooled variance; the epsilon floor keeps z defined (and 0 when
+    # the rate difference is also 0), mirrored in the oracle
+    se = F.greatest(
+        F.sqrt(p_pool * (1 - p_pool) * (1 / F.col("n0") + 1 / F.col("n1"))),
+        F.lit(1e-12),
+    )
+    z = (F.col("c0") / F.col("n0") - F.col("c1") / F.col("n1")) / se
+    zstat = a.crossJoin(b).select(F.round(z, 4).alias("z_stat"))
+    return arms.crossJoin(F.broadcast(zstat)).orderBy("arm")
+
+
+E35_SQL = """
+WITH t AS (SELECT MIN(event_type) AS t FROM events),
+users AS (
+  SELECT user_id % 2 AS arm,
+         CASE WHEN SUM(CASE WHEN event_type = (SELECT t FROM t) THEN 1 ELSE 0 END) >= 3
+              THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id),
+arms AS (
+  SELECT arm, COUNT(*) AS n_users,
+         CAST(SUM(converted) AS BIGINT) AS n_converted,
+         ROUND(AVG(converted), 4) AS rate
+  FROM users GROUP BY arm),
+z AS (
+  SELECT ROUND(
+    (a.n_converted * 1.0 / a.n_users - b.n_converted * 1.0 / b.n_users) /
+    GREATEST(sqrt(((a.n_converted + b.n_converted) * 1.0 / (a.n_users + b.n_users)) *
+         (1 - (a.n_converted + b.n_converted) * 1.0 / (a.n_users + b.n_users)) *
+         (1.0 / a.n_users + 1.0 / b.n_users)), 1e-12), 4) AS z_stat
+  FROM arms a, arms b WHERE a.arm = 0 AND b.arm = 1)
+SELECT arm, n_users, n_converted, rate, z.z_stat FROM arms, z ORDER BY arm
+"""
+
+
 QUERIES = {
+    "e35_abtest": e35_abtest,
     "e34_seasonality": e34_seasonality,
     "e33_ewma": e33_ewma,
     "e31_interval_join": e31_interval_join,
@@ -1323,6 +1402,7 @@ QUERIES = {
     "e15_range_window": e15_range_window,
 }
 ORACLES = {
+    "e35_abtest": E35_SQL,
     "e34_seasonality": E34_SQL,
     "e33_ewma": E33_SQL,
     "e31_interval_join": E31_SQL,

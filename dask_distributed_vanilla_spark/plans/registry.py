@@ -114,6 +114,7 @@ _R3_LATE = frozenset({
     "e34_seasonality",
     "text_langmix",
     "tpch_refresh",
+    "e35_abtest",
 })
 
 
