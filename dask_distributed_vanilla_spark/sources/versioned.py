@@ -1,0 +1,139 @@
+"""Minimal versioned parquet table: commit log, snapshot isolation,
+time travel, and compaction — the transaction-log pattern every
+lakehouse format (Delta/Iceberg/Hudi) builds on, reduced to its
+load-bearing parts with no external dependency.
+
+Layout:
+
+    table/
+      _log/00000000.json   {"version":0,"adds":[...],"removes":[]}
+      _log/00000001.json   ...
+      part-<uuid>.parquet  data files (immutable once committed)
+
+Contracts:
+- **Readers never list data files.** A snapshot = replay of the log's
+  add/remove sets up to the requested version; uncommitted files are
+  invisible (writes land data first, log entry last — crash before the
+  log write leaves only unreferenced orphans).
+- **Appends are O(delta)**: one log entry + the new files.
+- **Compaction rewrites small files into one and REMOVES them in the
+  same commit** — readers at older versions still see the old files
+  (they are never deleted here; a vacuum pass with a version horizon
+  would reclaim them), so time travel stays exact across compactions.
+- **Optimistic concurrency**: the log entry is created with
+  os.open(O_CREAT|O_EXCL) — two writers racing for version N produce
+  exactly one winner; the loser retries against N+1. Single-filesystem
+  semantics; object-store deployments swap this for a putIfAbsent.
+
+At 100 TB the same structure holds: the log is KB-sized JSON per
+commit, snapshots prune by version without touching data, and
+compaction is the same rewrite-and-swap commit shown here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG = "_log"
+
+
+def _log_dir(path: str) -> str:
+    d = os.path.join(path, _LOG)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _entries(path: str) -> list[dict]:
+    d = _log_dir(path)
+    out = []
+    for name in sorted(os.listdir(d)):
+        if name.endswith(".json"):
+            with open(os.path.join(d, name)) as f:
+                out.append(json.load(f))
+    return out
+
+
+def latest_version(path: str) -> int:
+    """-1 when the table has no commits yet."""
+    e = _entries(path)
+    return e[-1]["version"] if e else -1
+
+
+def _commit(path: str, adds: list[str], removes: list[str]) -> int:
+    """Atomically claim the next version (O_EXCL log create); on a race
+    the loser re-reads the log tip and retries."""
+    while True:
+        version = latest_version(path) + 1
+        entry = {"version": version, "adds": adds, "removes": removes}
+        target = os.path.join(_log_dir(path), f"{version:08d}.json")
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue  # lost the race for this version number — retry
+        with os.fdopen(fd, "w") as f:
+            json.dump(entry, f)
+        return version
+
+
+def write_append(df: DataFrame, path: str) -> int:
+    """Append `df` as a new commit; returns the committed version.
+    Data files land BEFORE the log entry references them."""
+    os.makedirs(path, exist_ok=True)
+    staging = os.path.join(path, f"_staging_{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    adds = []
+    for name in os.listdir(staging):
+        if name.endswith(".parquet"):
+            final = f"part-{uuid.uuid4().hex}.parquet"
+            os.rename(os.path.join(staging, name), os.path.join(path, final))
+            adds.append(final)
+    for leftover in os.listdir(staging):
+        os.remove(os.path.join(staging, leftover))
+    os.rmdir(staging)
+    return _commit(path, adds, [])
+
+
+def snapshot_files(path: str, version: int | None = None) -> list[str]:
+    """Live data files at `version` (default: latest) by log replay."""
+    live: set[str] = set()
+    for entry in _entries(path):
+        if version is not None and entry["version"] > version:
+            break
+        live.update(entry["adds"])
+        live.difference_update(entry["removes"])
+    return sorted(live)
+
+
+def read_versioned(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Time-travel read: the table exactly as of `version`."""
+    files = snapshot_files(path, version)
+    if not files:
+        raise ValueError(f"no committed data in {path} at version={version}")
+    return spark.read.parquet(*[os.path.join(path, f) for f in files])
+
+
+def compact(spark: SparkSession, path: str) -> int:
+    """Rewrite the current snapshot's files into one and swap them in a
+    single commit (Delta OPTIMIZE's bin-packing, single-bin form). Old
+    versions remain readable — compaction changes layout, never
+    history."""
+    files = snapshot_files(path)
+    df = read_versioned(spark, path)
+    staging = os.path.join(path, f"_staging_{uuid.uuid4().hex}")
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    adds = []
+    for name in os.listdir(staging):
+        if name.endswith(".parquet"):
+            final = f"part-{uuid.uuid4().hex}.parquet"
+            os.rename(os.path.join(staging, name), os.path.join(path, final))
+            adds.append(final)
+    for leftover in os.listdir(staging):
+        os.remove(os.path.join(staging, leftover))
+    os.rmdir(staging)
+    return _commit(path, adds, files)

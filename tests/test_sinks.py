@@ -180,3 +180,39 @@ def test_analyze_table_stats_feed_cbo(spark, tmp_path):
         assert kv.get("distinct_count") not in (None, "NULL")
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_versioned_table_time_travel_and_compaction(spark, tmp_path):
+    """Commit log semantics: appends create versions, time travel reads
+    any past version exactly, compaction rewrites layout without
+    rewriting history, and a crash-orphaned data file (no log entry)
+    stays invisible to readers."""
+    from dask_distributed_vanilla_spark.sources.versioned import (
+        compact,
+        latest_version,
+        read_versioned,
+        snapshot_files,
+        write_append,
+    )
+
+    path = str(tmp_path / "vt")
+    v0 = write_append(spark.range(0, 10).toDF("id"), path)
+    v1 = write_append(spark.range(10, 15).toDF("id"), path)
+    assert (v0, v1) == (0, 1)
+
+    assert read_versioned(spark, path, version=0).count() == 10
+    assert read_versioned(spark, path).count() == 15
+
+    # orphan a data file with no log entry: invisible to any snapshot
+    (tmp_path / "vt" / "part-orphan.parquet").write_bytes(b"junk")
+    assert "part-orphan.parquet" not in snapshot_files(path)
+    assert read_versioned(spark, path).count() == 15
+
+    v2 = compact(spark, path)
+    assert v2 == 2 and latest_version(path) == 2
+    assert len(snapshot_files(path)) == 1  # single file after compaction
+    assert read_versioned(spark, path).count() == 15  # same data
+    assert read_versioned(spark, path, version=1).count() == 15  # history intact
+    assert read_versioned(spark, path, version=0).count() == 10
+    got = sorted(r.id for r in read_versioned(spark, path).collect())
+    assert got == list(range(15))
