@@ -137,3 +137,50 @@ def compact(spark: SparkSession, path: str) -> int:
         os.remove(os.path.join(staging, leftover))
     os.rmdir(staging)
     return _commit(path, adds, files)
+
+
+def read_appended(
+    spark: SparkSession, path: str, since_version: int
+) -> DataFrame:
+    """Incremental (CDC-style) read: rows ADDED strictly after
+    `since_version` — the feed an incremental consumer (e.g.
+    dedup_incremental's delta side) reads instead of rescanning the
+    table. Append-only file adds ARE the row-level inserts; compaction
+    commits are excluded (their adds carry no new rows)."""
+    compacted_rewrites: set[str] = set()
+    fresh: list[str] = []
+    for entry in _entries(path):
+        if entry["version"] <= since_version:
+            continue
+        if entry["removes"]:
+            # rewrite commit (compaction): adds are relocated old rows
+            compacted_rewrites.update(entry["adds"])
+            continue
+        fresh.extend(entry["adds"])
+    files = [f for f in fresh if f not in compacted_rewrites]
+    if not files:
+        return spark.range(0).selectExpr("id")  # empty sentinel
+    return spark.read.parquet(*[os.path.join(path, f) for f in files])
+
+
+def vacuum(path: str, keep_versions: int = 1) -> list[str]:
+    """Reclaim data files unreachable from the newest `keep_versions`
+    snapshots (the retention horizon every lakehouse vacuum takes).
+    Time travel older than the horizon is forfeited — by explicit
+    request, never as a side effect of compaction. Returns the deleted
+    file names."""
+    tip = latest_version(path)
+    horizon = max(0, tip - keep_versions + 1)
+    keep: set[str] = set()
+    for v in range(horizon, tip + 1):
+        keep.update(snapshot_files(path, v))
+    all_committed: set[str] = set()
+    for entry in _entries(path):
+        all_committed.update(entry["adds"])
+    doomed = sorted(all_committed - keep)
+    for f in doomed:
+        try:
+            os.remove(os.path.join(path, f))
+        except FileNotFoundError:
+            pass
+    return doomed

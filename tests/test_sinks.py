@@ -216,3 +216,32 @@ def test_versioned_table_time_travel_and_compaction(spark, tmp_path):
     assert read_versioned(spark, path, version=0).count() == 10
     got = sorted(r.id for r in read_versioned(spark, path).collect())
     assert got == list(range(15))
+
+
+def test_versioned_incremental_read_and_vacuum(spark, tmp_path):
+    """read_appended feeds incremental consumers only the new rows
+    (compaction rewrites excluded); vacuum reclaims files outside the
+    retention horizon and the surviving snapshots still read exactly."""
+    from dask_distributed_vanilla_spark.sources.versioned import (
+        compact,
+        read_appended,
+        read_versioned,
+        vacuum,
+        write_append,
+    )
+
+    path = str(tmp_path / "vt2")
+    write_append(spark.range(0, 10).toDF("id"), path)          # v0
+    write_append(spark.range(10, 15).toDF("id"), path)         # v1
+    delta = read_appended(spark, path, since_version=0)
+    assert sorted(r.id for r in delta.collect()) == list(range(10, 15))
+
+    compact(spark, path)                                        # v2 (rewrite)
+    assert read_appended(spark, path, since_version=1).count() == 0
+    write_append(spark.range(15, 18).toDF("id"), path)          # v3
+    assert read_appended(spark, path, since_version=1).count() == 3
+
+    removed = vacuum(path, keep_versions=2)                     # keep v2, v3
+    assert removed  # the pre-compaction small files go away
+    assert read_versioned(spark, path).count() == 18
+    assert read_versioned(spark, path, version=2).count() == 15
