@@ -185,11 +185,55 @@ def _profile_sql() -> str:
 DQ_PROFILE_SQL = _profile_sql()
 
 
+def dq_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier (nation, market
+    segment): how many equivalence classes — and how many PEOPLE — sit
+    in classes smaller than k for k ∈ {5, 20} — the re-identification
+    risk measure a governance gate computes before a dataset ships.
+
+    One groupBy on the quasi-identifier, then a |classes|-row scalar
+    rollup: audit cost is the cost of counting, independent of how many
+    k thresholds are evaluated.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    classes = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("sz").alias("min_class_size"),
+        F.sum(F.when(F.col("sz") < 5, 1).otherwise(0)).cast("bigint").alias("classes_under_5"),
+        F.sum(F.when(F.col("sz") < 5, F.col("sz")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_under_5"),
+        F.sum(F.when(F.col("sz") < 20, 1).otherwise(0)).cast("bigint").alias("classes_under_20"),
+        F.sum(F.when(F.col("sz") < 20, F.col("sz")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_under_20"),
+    )
+
+
+DQ_KANON_SQL = """
+WITH cls AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS sz
+  FROM customer GROUP BY 1, 2)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(MIN(sz) AS BIGINT) AS min_class_size,
+       CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS classes_under_5,
+       CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS rows_under_5,
+       CAST(SUM(CASE WHEN sz < 20 THEN 1 ELSE 0 END) AS BIGINT) AS classes_under_20,
+       CAST(SUM(CASE WHEN sz < 20 THEN sz ELSE 0 END) AS BIGINT) AS rows_under_20
+FROM cls
+"""
+
+
 QUERIES = {
     "dq_audit": dq_audit,
     "dq_profile": dq_profile,
+    "dq_kanon": dq_kanon,
 }
 ORACLES = {
     "dq_audit": DQ_AUDIT_SQL,
     "dq_profile": DQ_PROFILE_SQL,
+    "dq_kanon": DQ_KANON_SQL,
 }

@@ -115,6 +115,7 @@ _R3_LATE = frozenset({
     "text_langmix",
     "tpch_refresh",
     "e35_abtest",
+    "dq_kanon",
 })
 
 
