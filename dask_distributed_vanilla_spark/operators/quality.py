@@ -227,13 +227,99 @@ FROM cls
 """
 
 
+DRIFT_SPLIT = "2024-01-16"  # fixture midpoint: epoch A before, B after
+DRIFT_BINS = 8
+
+
+def dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: per event type, the KL divergence
+    KL(A‖B) of `value` between two time epochs over a fixed-width bin
+    grid anchored to epoch A's [min, max] — the alert signal a data
+    pipeline watches to catch upstream shifts before they poison a
+    training run.
+
+    Plan shape: epoch-A per-type (min, max) is a |types|-row aggregate
+    broadcast back onto the fact scan; binning is pure column
+    arithmetic (clamped, so epoch-B outliers land in the edge bins);
+    the two histograms and the KL fold are |types|×bins-row aggregates.
+    Laplace (+1) smoothing keeps empty bins finite on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    epoch = F.when(F.col("ts") < F.lit(DRIFT_SPLIT).cast("timestamp"), "a").otherwise("b")
+    bounds = (
+        ev.where(F.col("ts") < F.lit(DRIFT_SPLIT).cast("timestamp"))
+        .groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    width = (F.col("hi") - F.col("lo")) / DRIFT_BINS
+    binned = (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_type",
+            epoch.alias("epoch"),
+            F.least(
+                F.lit(DRIFT_BINS - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
+                ),
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "epoch", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = binned.groupBy("event_type", "epoch").agg(F.sum("n").alias("tot"))
+    probs = binned.join(totals, ["event_type", "epoch"]).select(
+        "event_type",
+        "epoch",
+        "bin",
+        ((F.col("n") + 1) / (F.col("tot") + DRIFT_BINS)).alias("p"),
+    )
+    a = probs.where(F.col("epoch") == "a").select("event_type", "bin", F.col("p").alias("pa"))
+    b = probs.where(F.col("epoch") == "b").select("event_type", "bin", F.col("p").alias("pb"))
+    return (
+        a.join(b, ["event_type", "bin"])
+        .groupBy("event_type")
+        .agg(F.round(F.sum(F.col("pa") * F.log(F.col("pa") / F.col("pb"))), 6).alias("kl"))
+        .orderBy("event_type")
+    )
+
+
+DQ_DRIFT_SQL = f"""
+WITH ev AS (
+  SELECT event_type, value,
+         CASE WHEN ts < TIMESTAMP '{DRIFT_SPLIT} 00:00:00' THEN 'a' ELSE 'b' END AS epoch
+  FROM events),
+bounds AS (
+  SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+  FROM ev WHERE epoch = 'a' GROUP BY 1),
+binned AS (
+  SELECT ev.event_type, ev.epoch,
+         LEAST({DRIFT_BINS - 1}, GREATEST(0,
+           CAST(FLOOR((ev.value - b.lo) / ((b.hi - b.lo) / {DRIFT_BINS})) AS INT))) AS bin,
+         COUNT(*) AS n
+  FROM ev JOIN bounds b USING (event_type)
+  GROUP BY 1, 2, 3),
+probs AS (
+  SELECT event_type, epoch, bin,
+         (n + 1.0) / (SUM(n) OVER (PARTITION BY event_type, epoch) + {DRIFT_BINS}) AS p
+  FROM binned)
+SELECT a.event_type, ROUND(SUM(a.p * ln(a.p / b.p)), 6) AS kl
+FROM probs a JOIN probs b ON a.event_type = b.event_type AND a.bin = b.bin
+WHERE a.epoch = 'a' AND b.epoch = 'b'
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "dq_audit": dq_audit,
     "dq_profile": dq_profile,
     "dq_kanon": dq_kanon,
+    "dq_drift": dq_drift,
 }
 ORACLES = {
     "dq_audit": DQ_AUDIT_SQL,
     "dq_profile": DQ_PROFILE_SQL,
     "dq_kanon": DQ_KANON_SQL,
+    "dq_drift": DQ_DRIFT_SQL,
 }

@@ -116,6 +116,7 @@ _R3_LATE = frozenset({
     "tpch_refresh",
     "e35_abtest",
     "dq_kanon",
+    "dq_drift",
 })
 
 
