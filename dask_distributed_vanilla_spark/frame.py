@@ -435,6 +435,12 @@ class Frame:
             out = out.withColumn(name, col)
         return Frame(out)
 
+    def describe(self):
+        """pandas df.describe(): count/mean/stddev/min/max per numeric
+        column (one aggregate pass; quartiles via summary() when
+        needed). Driver-sized by contract."""
+        return self.df.describe().toPandas()
+
     def head(self, n: int = 5):
         return self.df.limit(n).toPandas()
 

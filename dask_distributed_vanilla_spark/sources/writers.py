@@ -64,3 +64,21 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     min/max pushdown on re-read, so it terminates pipelines rather than
     feeding them."""
     df.write.mode(mode).json(path)
+
+
+def write_sized(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet write with a per-file record ceiling — the small-file /
+    giant-file control knob: at 100 TB the writer, not the reader,
+    decides file granularity, and a ceiling keeps any one task's output
+    splittable for downstream scans (the companion of the versioned
+    table's compaction, which fixes granularity after the fact)."""
+    (
+        df.write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(path)
+    )

@@ -454,3 +454,13 @@ def test_parquet_zstd_compression_codec(spark, tmp_path):
 
     assert total(p_zstd) < total(p_none)
     assert spark.read.parquet(p_zstd).count() == li.count()
+
+
+def test_frame_describe(spark):
+    from dask_distributed_vanilla_spark import frame as fr
+    from dask_distributed_vanilla_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    f = fr.Frame(load_table(spark, SF_SMOKE, "nation"))
+    d = f.describe()
+    assert "summary" in d.columns and len(d) == 5

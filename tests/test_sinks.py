@@ -245,3 +245,15 @@ def test_versioned_incremental_read_and_vacuum(spark, tmp_path):
     assert removed  # the pre-compaction small files go away
     assert read_versioned(spark, path).count() == 18
     assert read_versioned(spark, path, version=2).count() == 15
+
+
+def test_write_sized_caps_records_per_file(spark, tmp_path):
+    import os
+
+    from dask_distributed_vanilla_spark.sources.writers import write_sized
+
+    p = str(tmp_path / "sized")
+    write_sized(spark.range(0, 1000).coalesce(1).toDF("id"), p, max_records_per_file=300)
+    files = [f for f in os.listdir(p) if f.endswith(".parquet")]
+    assert len(files) >= 4  # 1000 rows / 300 cap
+    assert spark.read.parquet(p).count() == 1000
