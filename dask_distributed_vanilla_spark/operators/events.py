@@ -1364,7 +1364,63 @@ SELECT arm, n_users, n_converted, rate, z.z_stat FROM arms, z ORDER BY arm
 """
 
 
+def e36_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outlier census via the median absolute
+    deviation: a value is an outlier when |x − median| exceeds 3 scaled
+    MADs (1.4826·MAD estimates σ under normality). Unlike e21's z-score,
+    the breakdown point is 50% — a bot flood cannot drag the threshold.
+
+    Shape: two exact-median aggregate passes (median, then MAD of the
+    residuals) over the same event_type shuffle key; the per-group
+    stats table is group-cardinality-sized and broadcast back, so the
+    flagging pass is a scan + broadcast hash join — the fact table is
+    shuffled for the medians (grouped sort) and only for them. At
+    extreme group cardinality swap `median` for `approx_percentile`
+    (same plan shape, GK sketch instead of the sort), the e10 →
+    e10_percentiles_approx relationship.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    stats = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("med").alias("med"),
+            F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"),
+        )
+    )
+    is_out = F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("med"), 2).alias("med"),
+            F.round(F.min("mad"), 2).alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(is_out.cast("long")).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+E36_SQL = """
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+stats AS (
+  SELECT e.event_type, MIN(m.med) AS med,
+         median(ABS(e.value - m.med)) AS mad
+  FROM events e JOIN med m USING (event_type) GROUP BY 1)
+SELECT e.event_type, ROUND(MIN(s.med), 2) AS med, ROUND(MIN(s.mad), 2) AS mad,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN ABS(e.value - s.med) > 3 * 1.4826 * s.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e JOIN stats s USING (event_type)
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
 QUERIES = {
+    "e36_mad": e36_mad,
     "e35_abtest": e35_abtest,
     "e34_seasonality": e34_seasonality,
     "e33_ewma": e33_ewma,
@@ -1402,6 +1458,7 @@ QUERIES = {
     "e15_range_window": e15_range_window,
 }
 ORACLES = {
+    "e36_mad": E36_SQL,
     "e35_abtest": E35_SQL,
     "e34_seasonality": E34_SQL,
     "e33_ewma": E33_SQL,

@@ -313,7 +313,94 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM new_orders) AS n_orders,
 """
 
 
+N_SHARDS = 16
+SHARD_SEED = "shard|"  # hash-domain prefix: reshard by changing the seed
+
+
+def shards_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard layout audit: every document is
+    assigned shard = md5(seed ‖ doc_id) mod {n}, ordered within its
+    shard by the same hash — the reproducible global shuffle a training
+    run needs (breaks source/time correlation in the token stream;
+    re-runs and resumable jobs see the identical order, and changing
+    the seed is a full reshuffle with no data movement logic to
+    rewrite). Emits per-shard doc/char totals plus an order-sensitive
+    checksum Σ doc_id·position, so two engines agree only if every
+    shard holds the same docs in the same sequence.
+
+    Scale shape: hashing is codegen'd column math on the id (text never
+    feeds the hash); the only shuffle is the per-shard window sort, and
+    shards are uniform by construction (md5 mod n), so there is no skew
+    to mitigate at any corpus size. `write_training_shards` is the
+    companion re-layout pass (one repartition + in-partition sort, the
+    exact write path of the audit's plan).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit(SHARD_SEED), F.col("doc_id").cast("string")))
+    keyed = docs.select("doc_id", "n_chars", h.alias("h")).withColumn(
+        "shard", (F.conv(F.substring("h", 1, 15), 16, 10).cast("long") % N_SHARDS).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        keyed.withColumn("pos", F.row_number().over(w).cast("long"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum(F.col("doc_id") * F.col("pos")).cast("long").alias("order_checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
+SHARDS_LAYOUT_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars, md5('{SHARD_SEED}' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents),
+sharded AS (
+  SELECT doc_id, n_chars, h,
+         CAST(('0x' || substr(h, 1, 15))::BIGINT % {N_SHARDS} AS INT) AS shard
+  FROM keyed),
+pos AS (
+  SELECT shard, doc_id, n_chars,
+         CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+  FROM sharded)
+SELECT shard, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(doc_id * pos) AS BIGINT) AS order_checksum
+FROM pos GROUP BY shard ORDER BY shard
+"""
+
+
+def write_training_shards(
+    df: DataFrame, path: str, id_col: str, n_shards: int, seed: str = SHARD_SEED
+) -> None:
+    """Materialize the shard layout `shards_layout` audits: one
+    `shard=k/` directory per shard holding ONE file with rows in hash
+    order — a single shuffle at any scale. Hash-repartitioning on the
+    shard id alone would collide several shards into one task (hash of
+    small ints mod n is not a bijection), so the write
+    directory-partitions on the shard column instead: every task emits
+    one file per shard it holds, and each shard's rows sort together
+    because the in-partition sort leads with the shard id."""
+    h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    (
+        df.withColumn("__h", h)
+        .withColumn(
+            "shard",
+            (F.conv(F.substring("__h", 1, 15), 16, 10).cast("long") % n_shards).cast("int"),
+        )
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "__h")
+        .drop("__h")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
 QUERIES = {
+    "shards_layout": shards_layout,
     "merge_upsert": merge_upsert,
     "zorder_layout": zorder_layout,
     "snapshot_diff": snapshot_diff,
@@ -321,6 +408,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "shards_layout": SHARDS_LAYOUT_SQL,
     "merge_upsert": MERGE_UPSERT_SQL,
     "zorder_layout": ZORDER_SQL,
     "snapshot_diff": SNAPSHOT_DIFF_SQL,

@@ -609,7 +609,133 @@ FROM d GROUP BY 1 ORDER BY 1
 """
 
 
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+RRF_POOL = 20  # per-modality candidate depth feeding the fusion
+
+
+def ann_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the lexical and the
+    vector ranking for each query document (doc_id = vec_id < {n}) —
+    score(d) = Σ_modality 1/({k} + rank_modality(d)) over the union of
+    both top-{pool} candidate lists, the fusion every hybrid-search
+    stack (BM25 ⊕ dense) runs.
+
+    Scale shape: the vector half is ann_cosine_topk's broadcast(q) ⋈
+    corpus scan; the lexical half joins the query docs' distinct terms
+    (a broadcast, |queries|·|terms/doc| rows) against the corpus token
+    table, so corpus postings are scanned once and never shuffled —
+    at stop-word df the candidate count per query term is bounded by
+    the same df band-pass text_inverted_index applies (here the fixed
+    stopword list). Fusion is a pool-sized full-outer join per query:
+    ranks are integers, so 1/(k+r) is the same double on every engine
+    and the fused ordering is engine-portable with no rounding tricks.
+    """
+    from dask_distributed_vanilla_spark.operators.text import STOPWORDS
+
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    cos = dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+    wv = Window.partitionBy("query_id").orderBy(F.desc("cos"), "doc_id")
+    vec_rank = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("doc_id"))
+        .withColumn("cos", cos)
+        .withColumn("r_vec", F.row_number().over(wv))
+        .where(F.col("r_vec") <= RRF_POOL)
+        .select("query_id", "doc_id", "r_vec")
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("term"),
+    ).where(~F.col("term").isin(*STOPWORDS))
+    qtok = tok.where(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "term"
+    )
+    wl = Window.partitionBy("query_id").orderBy(F.desc("overlap"), "doc_id")
+    lex_rank = (
+        F.broadcast(qtok)
+        .join(tok, "term")
+        .where(F.col("query_id") != F.col("doc_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+        .withColumn("r_lex", F.row_number().over(wl))
+        .where(F.col("r_lex") <= RRF_POOL)
+        .select("query_id", "doc_id", "r_lex")
+    )
+
+    rrf = F.coalesce(1.0 / (RRF_K + F.col("r_vec")), F.lit(0.0)) + F.coalesce(
+        1.0 / (RRF_K + F.col("r_lex")), F.lit(0.0)
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), "doc_id")
+    return (
+        vec_rank.join(lex_rank, ["query_id", "doc_id"], "full_outer")
+        .withColumn("rrf", rrf)
+        .withColumn("rank", F.row_number().over(wf).cast("int"))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "doc_id", F.round("rrf", 4).alias("rrf"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def _hybrid_rrf_sql() -> str:
+    from dask_distributed_vanilla_spark.operators.text import STOPWORDS
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS norm
+  FROM embeddings),
+vec AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         list_dot_product(q.emb, c.emb) / (q.norm * c.norm) AS cos
+  FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id),
+vecr AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS r_vec
+  FROM vec QUALIFY r_vec <= {RRF_POOL}),
+tok AS (
+  SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS term
+  FROM documents),
+ftok AS (SELECT * FROM tok WHERE term NOT IN {STOPWORDS!r}),
+qt AS (SELECT doc_id AS query_id, term FROM ftok WHERE doc_id < {N_QUERIES}),
+ov AS (
+  SELECT qt.query_id, t.doc_id, COUNT(*) AS overlap
+  FROM qt JOIN ftok t USING (term)
+  WHERE t.doc_id <> qt.query_id GROUP BY 1, 2),
+lexr AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY overlap DESC, doc_id) AS r_lex
+  FROM ov QUALIFY r_lex <= {RRF_POOL}),
+fused AS (
+  SELECT COALESCE(v.query_id, l.query_id) AS query_id,
+         COALESCE(v.doc_id, l.doc_id) AS doc_id,
+         COALESCE(1.0 / ({RRF_K} + v.r_vec), 0.0)
+           + COALESCE(1.0 / ({RRF_K} + l.r_lex), 0.0) AS rrf
+  FROM vecr v FULL OUTER JOIN lexr l
+    ON v.query_id = l.query_id AND v.doc_id = l.doc_id),
+final AS (
+  SELECT query_id, doc_id, rrf,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+  FROM fused QUALIFY rank <= {TOP_K})
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, ROUND(rrf, 4) AS rrf
+FROM final ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
+    "ann_hybrid_rrf": ann_hybrid_rrf,
     "emb_quantize": emb_quantize,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
@@ -619,6 +745,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_hybrid_rrf": _hybrid_rrf_sql(),
     "emb_quantize": EMB_QUANTIZE_SQL,
     "ann_cosine_topk": ANN_COSINE_SQL,
     "ann_lsh_topk": _lsh_sql(),

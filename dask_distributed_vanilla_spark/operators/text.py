@@ -597,7 +597,52 @@ FROM s ORDER BY doc_id
 """
 
 
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization — lowercase, strip every char
+    outside [a-z0-9 ], squeeze whitespace runs, trim — the pass that
+    runs before *any* hash-based dedup so that case/punctuation
+    variants of the same document collide (exact dedup on raw bytes
+    misses them). Emits the normalized digest plus size deltas; chain
+    `dedup_exact` on `norm_digest` for the case-insensitive dedup.
+
+    Pure codegen'd string expressions (lower + two regexp_replace +
+    trim), single scan, no shuffle beyond the output sort — the
+    normalization itself is embarrassingly parallel at any corpus
+    size, and only the 32-byte digest ever needs to reach a shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return (
+        docs.select("doc_id", norm.alias("norm"))
+        .select(
+            "doc_id",
+            F.length("norm").cast("long").alias("n_chars_norm"),
+            F.size(F.split(F.col("norm"), " ")).cast("long").alias("n_tokens_norm"),
+            F.md5(F.col("norm")).alias("norm_digest"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_NORMALIZE_SQL = """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS norm
+  FROM documents)
+SELECT doc_id, length(norm) AS n_chars_norm,
+       CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens_norm,
+       md5(norm) AS norm_digest
+FROM n ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "text_normalize": text_normalize,
     "text_langmix": text_langmix,
     "text_sparse_sim": text_sparse_sim,
     "text_inverted_index": text_inverted_index,
@@ -613,6 +658,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_normalize": TEXT_NORMALIZE_SQL,
     "text_langmix": _langmix_sql(),
     "text_sparse_sim": TEXT_SPARSE_SIM_SQL,
     "text_inverted_index": TEXT_INVERTED_INDEX_SQL,

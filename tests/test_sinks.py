@@ -257,3 +257,52 @@ def test_write_sized_caps_records_per_file(spark, tmp_path):
     files = [f for f in os.listdir(p) if f.endswith(".parquet")]
     assert len(files) >= 4  # 1000 rows / 300 cap
     assert spark.read.parquet(p).count() == 1000
+
+
+def test_training_shards_write_is_deterministic(spark, tmp_path):
+    """The shard writer delivers the layout `shards_layout` audits:
+    every doc lands in the `shard=k/` directory its hash names with one
+    file per shard, intra-file order is the hash order, and a second
+    write under the same seed reproduces the identical sequences (the
+    resumable-training contract)."""
+    import os
+
+    from dask_distributed_vanilla_spark.operators.lakehouse import (
+        N_SHARDS,
+        write_training_shards,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id")
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_training_shards(docs, p1, "doc_id", N_SHARDS)
+    write_training_shards(docs, p2, "doc_id", N_SHARDS)
+
+    assert spark.read.parquet(p1).count() == docs.count()
+
+    def per_shard(path):
+        out = {}
+        for d in sorted(os.listdir(path)):
+            if not d.startswith("shard="):
+                continue
+            files = [f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")]
+            assert len(files) == 1  # one file per shard
+            rows = spark.read.parquet(os.path.join(path, d, files[0])).collect()
+            out[int(d.split("=")[1])] = [r["doc_id"] for r in rows]
+        return out
+
+    s1, s2 = per_shard(p1), per_shard(p2)
+    assert s1 == s2  # same seed -> identical per-shard sequences
+
+    # every doc is in the shard its hash names (the audit's own expr)
+    h = F.md5(F.concat(F.lit("shard|"), F.col("doc_id").cast("string")))
+    expected = {
+        r["shard"]: r["count"]
+        for r in docs.withColumn(
+            "shard",
+            (F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % N_SHARDS).cast("int"),
+        )
+        .groupBy("shard")
+        .count()
+        .collect()
+    }
+    assert {k: len(v) for k, v in s1.items()} == expected
