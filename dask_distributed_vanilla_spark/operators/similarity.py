@@ -734,7 +734,72 @@ FROM final ORDER BY query_id, rank
 """
 
 
+PCA_TOP = 10
+
+
+def emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA spectrum of the embedding corpus: top-{k} eigenvalues of the
+    covariance matrix with explained-variance ratios — the
+    dimensionality audit behind embedding compression (how many PQ/IVF
+    dimensions actually carry signal) and drift detection (a collapsing
+    spectrum means the encoder is saturating).
+
+    Scale shape — the classic two-phase distributed PCA: executors
+    reduce Arrow batches to (n, Σx, XᵀX) partials via BLAS (one d²
+    vector per batch, data never leaves its partition), the partials
+    sum into a d×d Gram, and the eigendecomposition runs on the driver
+    where it belongs (d² doubles — KB, not data-sized; same
+    driver-sized-by-design contract as the TSQR SVD factors). Corpus
+    size only affects the embarrassingly-parallel partial pass.
+
+    Rows-only judged (no SQL eigensolver); pinned against numpy PCA of
+    the full matrix in test_queries.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    dim = len(emb.first()["embedding"])
+
+    def gram_partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(x)],
+                    "s": [x.sum(axis=0).tolist()],
+                    "g": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    parts = emb.mapInPandas(
+        gram_partials, schema="n long, s array<double>, g array<double>"
+    ).toPandas()  # one tiny row per Arrow batch — partition-count-sized
+    n = int(parts["n"].sum())
+    s = np.sum(np.vstack(parts["s"].to_numpy()), axis=0)
+    g = np.sum(np.vstack(parts["g"].to_numpy()), axis=0).reshape(dim, dim)
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    total = float(evals.sum())
+    rows = [
+        (
+            i + 1,
+            round(float(evals[i]), 6),
+            round(float(evals[i] / total), 4),
+            round(float(evals[: i + 1].sum() / total), 4),
+        )
+        for i in range(min(PCA_TOP, dim))
+    ]
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, explained_var double, cum_var double"
+    )
+
+
 QUERIES = {
+    "emb_pca": emb_pca,
     "ann_hybrid_rrf": ann_hybrid_rrf,
     "emb_quantize": emb_quantize,
     "ann_cosine_topk": ann_cosine_topk,
@@ -745,6 +810,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "emb_pca": None,  # no SQL eigensolver: rows-only; numpy-pinned in pytest
     "ann_hybrid_rrf": _hybrid_rrf_sql(),
     "emb_quantize": EMB_QUANTIZE_SQL,
     "ann_cosine_topk": ANN_COSINE_SQL,

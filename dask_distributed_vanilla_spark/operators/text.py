@@ -641,7 +641,134 @@ FROM n ORDER BY doc_id
 """
 
 
+OOV_VOCAB = 50  # top-V corpus tokens form the "tokenizer" vocabulary
+
+
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit: fix the vocabulary at the corpus' top
+    {V} tokens by frequency and measure each document's out-of-vocab
+    token rate — the pre-flight check before committing a tokenizer
+    (docs with high OOV explode into byte-fallback tokens and blow the
+    token budget; a vocab whose corpus-wide OOV mass is high was fit on
+    the wrong distribution).
+
+    Scale shape: the vocab is one token-frequency aggregate + top-V
+    (TakeOrdered, no global sort) and is broadcast — per-doc work is an
+    explode + broadcast LEFT ANTI join + count, so the corpus token
+    stream is scanned once and only (doc_id, count) partials cross the
+    shuffle. Vocab choice is deterministic (count desc, token asc).
+    """
+    t = _with_words(load_table(spark, sf_dir, "documents"))
+    tok = t.select("doc_id", F.explode("w").alias("term"))
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "term")
+        .limit(OOV_VOCAB)
+        .select("term")
+    )
+    n_oov = (
+        tok.join(F.broadcast(vocab), "term", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_oov"))
+    )
+    ntok = t.select("doc_id", F.size("w").cast("long").alias("n_tokens"))
+    return (
+        ntok.join(n_oov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_oov"), F.lit(0)).cast("long").alias("n_oov"),
+            round2(F.coalesce(F.col("n_oov"), F.lit(0)) / F.col("n_tokens")).alias(
+                "oov_rate"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_OOV_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tok AS (SELECT doc_id, UNNEST(w) AS term FROM t),
+vocab AS (
+  SELECT term FROM tok GROUP BY 1
+  ORDER BY COUNT(*) DESC, term LIMIT {OOV_VOCAB}),
+oov AS (
+  SELECT doc_id, COUNT(*) AS n_oov FROM tok
+  WHERE term NOT IN (SELECT term FROM vocab) GROUP BY 1),
+ntok AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM t)
+SELECT n.doc_id, n.n_tokens,
+       CAST(COALESCE(o.n_oov, 0) AS BIGINT) AS n_oov,
+       {round2_sql("COALESCE(o.n_oov, 0) * 1.0 / n.n_tokens")} AS oov_rate
+FROM ntok n LEFT JOIN oov o USING (doc_id)
+ORDER BY n.doc_id
+"""
+
+
+BPE_MERGES = 10
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First {k} BPE merge operations fit on the corpus — tokenizer
+    training's inner loop. Greedy: repeatedly merge the most frequent
+    adjacent symbol pair inside words (ties → lexicographically
+    smallest pair), exactly the industrial recipe (byte-pair encoding
+    over a word-frequency table, not over the raw token stream).
+
+    Scale shape: the ONE data-sized step is corpus → (word, count)
+    aggregation, a single explode + groupBy with map-side partials;
+    every merge iteration then runs over the vocabulary table, which is
+    sub-linear in corpus size (Heaps' law) and driver-held by design —
+    the same contract as every practical BPE trainer (the vocab fits
+    memory long before the corpus does). No per-iteration Spark jobs:
+    100 TB of text costs one aggregate, then the loop is corpus-size-
+    independent.
+
+    Rows-only judged (the greedy recurrence is not SQL-expressible);
+    pinned in pytest against an independent pandas/Counter
+    implementation over the raw parquet.
+    """
+    t = _with_words(load_table(spark, sf_dir, "documents"))
+    wc = (
+        t.select(F.explode("w").alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = {r["word"]: r["cnt"] for r in wc.collect()}  # vocabulary-sized
+    seqs = {w: tuple(w) for w in vocab}
+    merges = []
+    for rank in range(1, BPE_MERGES + 1):
+        pairs: dict[tuple[str, str], int] = {}
+        for w, cnt in vocab.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pairs[s[i], s[i + 1]] = pairs.get((s[i], s[i + 1]), 0) + cnt
+        if not pairs:
+            break
+        best = min(pairs, key=lambda p: (-pairs[p], p))
+        merges.append((rank, best[0], best[1], pairs[best]))
+        merged = best[0] + best[1]
+        for w, s in seqs.items():
+            if best[0] not in s:
+                continue
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == best[0] and s[i + 1] == best[1]:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = tuple(out)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long"
+    )
+
+
 QUERIES = {
+    "bpe_merges": bpe_merges,
+    "text_oov_rate": text_oov_rate,
     "text_normalize": text_normalize,
     "text_langmix": text_langmix,
     "text_sparse_sim": text_sparse_sim,
@@ -658,6 +785,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "bpe_merges": None,  # greedy recurrence not SQL-expressible; Counter-pinned in pytest
+    "text_oov_rate": TEXT_OOV_SQL,
     "text_normalize": TEXT_NORMALIZE_SQL,
     "text_langmix": _langmix_sql(),
     "text_sparse_sim": TEXT_SPARSE_SIM_SQL,

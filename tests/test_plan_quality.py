@@ -509,3 +509,36 @@ def test_join_hints_are_honored(spark):
     )
     plan = formatted_plan(hashed)
     assert "ShuffledHashJoin" in plan
+
+
+def test_hybrid_rrf_both_halves_broadcast(spark):
+    """Both candidate generators keep the corpus un-shuffled: the
+    query embeddings and the query-doc terms are the broadcast sides,
+    and nothing in the plan degrades to a cartesian/BNLJ pair loop."""
+    from dask_distributed_vanilla_spark.operators.similarity import ann_hybrid_rrf
+
+    df = ann_hybrid_rrf(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert count_broadcast_joins(df) >= 2  # vec half + lex half
+    assert "CartesianProduct" not in plan
+
+
+def test_shards_layout_single_data_shuffle(spark):
+    """The shard audit shuffles the docs once (the per-shard window
+    sort); the aggregate rides the same partitioning. Only id/size
+    columns are read — text never leaves the scan."""
+    from dask_distributed_vanilla_spark.operators.lakehouse import shards_layout
+
+    plan = formatted_plan(shards_layout(spark, SF_SMOKE))
+    assert "text" not in plan.split("ReadSchema")[1].split("\n")[0]
+    assert plan.count("Window (") == 1
+
+
+def test_text_normalize_no_shuffle_single_scan(spark):
+    """Normalization is map-only: one scan, no exchange except the
+    output ordering."""
+    from dask_distributed_vanilla_spark.operators.text import text_normalize
+
+    plan = formatted_plan(text_normalize(spark, SF_SMOKE))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Join" not in plan

@@ -143,3 +143,73 @@ def test_triangle_orientation_bounds_out_degree(spark):
     assert max_out <= math.isqrt(2 * m) + 1
     # orientation preserves the edge set
     assert adj.count() == m
+
+
+def test_emb_pca_matches_numpy(spark):
+    """The distributed (n, Σx, XᵀX) partial-reduction must reproduce
+    numpy PCA of the full matrix exactly (same covariance, same
+    eigenvalues) — the differential check for the rows-only entry."""
+    import numpy as np
+    import pandas as pd
+
+    from dask_distributed_vanilla_spark.operators.similarity import PCA_TOP, emb_pca
+
+    got = {r["component"]: r for r in emb_pca(spark, SF_SMOKE).collect()}
+
+    x = np.vstack(
+        pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")["embedding"].to_numpy()
+    ).astype(np.float64)
+    cov = np.cov(x, rowvar=False, bias=True)
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    total = evals.sum()
+    assert len(got) == min(PCA_TOP, x.shape[1])
+    for i in range(len(got)):
+        r = got[i + 1]
+        assert abs(r["eigenvalue"] - evals[i]) < 1e-6
+        assert abs(r["explained_var"] - evals[i] / total) < 1e-3
+        assert abs(r["cum_var"] - evals[: i + 1].sum() / total) < 1e-3
+
+
+def test_bpe_merges_matches_reference_impl(spark):
+    """Greedy BPE over the Spark word-count aggregate must equal an
+    independent pandas/Counter implementation over the raw parquet —
+    merge-for-merge, including the (count desc, pair asc) tiebreak."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from dask_distributed_vanilla_spark.operators.text import BPE_MERGES, bpe_merges
+
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_merges(spark, SF_SMOKE).collect()
+    ]
+
+    wc = Counter()
+    for text in pd.read_parquet(f"{SF_SMOKE}/documents.parquet")["text"]:
+        wc.update(w for w in text.split(" ") if w)
+    seqs = {w: tuple(w) for w in wc}
+    want = []
+    for rank in range(1, BPE_MERGES + 1):
+        pairs = Counter()
+        for w, cnt in wc.items():
+            s = seqs[w]
+            for a, b in zip(s, s[1:]):
+                pairs[(a, b)] += cnt
+        if not pairs:
+            break
+        best = min(pairs, key=lambda p: (-pairs[p], p))
+        want.append((rank, best[0], best[1], pairs[best]))
+        for w, s in seqs.items():
+            if best[0] not in s:
+                continue
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == best:
+                    out.append(best[0] + best[1])
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = tuple(out)
+    assert got == want
