@@ -480,7 +480,100 @@ def stream_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).orderBy("event_type", "w")
 
 
+# Rollup cutoff for the outer join: far enough before the stream's end
+# (Jan 30) that the final watermark has flushed every unmatched click
+# at or before it — the deterministic-comparison region.
+OUTER_JOIN_CUTOFF = "2024-01-25 00:00:00"
+
+
+def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged query: watermarked stream-stream LEFT OUTER interval join
+    — attribution including the negatives (clicks with NO purchase
+    within the hour), the class stream_join's inner form cannot emit.
+    The semantics are the reason this is its own operator: an unmatched
+    click can only be emitted once the watermark proves no future
+    purchase can still match (click_ts + interval < watermark), so
+    null-match rows surface late, driven by state expiry — the join
+    condition's time bound is what makes both the expiry and the nulls
+    well-defined. State is bounded exactly as in the inner join.
+
+    The rollup compares only clicks at or before {cutoff}: the stream
+    ends Jan 30 and the global watermark stops 2h short of the last
+    event, so clicks in the final hours are legitimately still open in
+    state when the replay ends — excluded identically on both engines
+    rather than hand-waved.
+    """
+    sink = f"stream_oj_{uuid.uuid4().hex[:8]}"
+    clicks = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purch_id"),
+            F.col("ts").alias("purch_ts"),
+        )
+        .withWatermark("purch_ts", "2 hours")
+    )
+    with _stream_shuffle(spark, 4):
+        q = (
+            clicks.join(
+                purchases,
+                (F.col("user_id") == F.col("p_user_id"))
+                & (F.col("purch_ts") >= F.col("click_ts"))
+                & (F.col("purch_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+                "left_outer",
+            )
+            .select("user_id", "click_id", "purch_id", "click_ts")
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(sink)
+        .where(F.col("click_ts") < F.lit(OUTER_JOIN_CUTOFF).cast("timestamp"))
+        .groupBy(F.date_trunc("day", F.col("click_ts")).alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("purch_id").alias("n_matched"),
+            (F.count(F.lit(1)) - F.count("purch_id")).alias("n_unmatched"),
+        )
+        .orderBy("day")
+    )
+
+
+STREAM_OUTER_JOIN_SQL = f"""
+WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id AS purch_id, ts AS purch_ts
+      FROM events WHERE event_type = 'purchase')
+SELECT date_trunc('day', c.click_ts) AS day,
+       COUNT(*) AS n_rows,
+       COUNT(p.purch_id) AS n_matched,
+       COUNT(*) - COUNT(p.purch_id) AS n_unmatched
+FROM c LEFT JOIN p
+  ON c.user_id = p.user_id
+ AND p.purch_ts >= c.click_ts
+ AND p.purch_ts <= c.click_ts + INTERVAL 1 HOUR
+WHERE c.click_ts < TIMESTAMP '{OUTER_JOIN_CUTOFF}'
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
+    "stream_outer_join": stream_outer_join,
     "stream_enrich": stream_enrich,
     "stream_e1": stream_e1,
     "stream_sliding": stream_sliding,
@@ -492,6 +585,7 @@ QUERIES = {
     "stream_incremental_mv": stream_incremental_mv,
 }
 ORACLES = {
+    "stream_outer_join": STREAM_OUTER_JOIN_SQL,
     "stream_incremental_mv": STREAM_INCREMENTAL_MV_SQL,
     "stream_approx_distinct": None,  # HLL estimate: rows-only; bound-tested in pytest
     "stream_enrich": STREAM_ENRICH_SQL,
