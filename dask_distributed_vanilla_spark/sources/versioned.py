@@ -111,11 +111,19 @@ def snapshot_files(path: str, version: int | None = None) -> list[str]:
 def read_versioned(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
-    """Time-travel read: the table exactly as of `version`."""
+    """Time-travel read: the table exactly as of `version`.
+
+    mergeSchema unions the per-file schemas, so a column added by a
+    later append reads as NULL on pre-evolution rows — and a
+    time-travel read at an old version sees only that version's
+    schema (the additive-evolution contract of every table format)."""
     files = snapshot_files(path, version)
     if not files:
         raise ValueError(f"no committed data in {path} at version={version}")
-    return spark.read.parquet(*[os.path.join(path, f) for f in files])
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[os.path.join(path, f) for f in files])
+    )
 
 
 def compact(spark: SparkSession, path: str) -> int:

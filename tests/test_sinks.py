@@ -306,3 +306,28 @@ def test_training_shards_write_is_deterministic(spark, tmp_path):
         .collect()
     }
     assert {k: len(v) for k, v in s1.items()} == expected
+
+
+def test_versioned_table_schema_evolution(spark, tmp_path):
+    """Additive schema evolution on the versioned table: a later append
+    may carry a new column; the merged snapshot reads it as NULL on
+    pre-evolution rows, while time travel to an old version still sees
+    only that version's schema."""
+    from dask_distributed_vanilla_spark.sources.versioned import (
+        read_versioned,
+        write_append,
+    )
+
+    p = str(tmp_path / "evolving")
+    write_append(spark.range(0, 5).toDF("id"), p)                        # v0
+    v1_df = spark.range(5, 8).toDF("id").withColumn("lang", F.lit("en"))
+    write_append(v1_df, p)                                              # v1
+
+    latest = read_versioned(spark, p)
+    assert set(latest.columns) == {"id", "lang"}
+    assert latest.count() == 8
+    assert latest.where(F.col("lang").isNull()).count() == 5  # old rows
+
+    v0 = read_versioned(spark, p, version=0)
+    assert v0.columns == ["id"]
+    assert v0.count() == 5

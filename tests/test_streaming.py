@@ -153,3 +153,49 @@ def test_incremental_view_epoch_replay_is_noop(spark, tmp_path):
     merge_epoch_into_view(b1, 0, view, ["k"])  # stale epoch: also a no-op
     got = {r.k: (r.n, r.sv) for r in spark.read.parquet(view).collect()}
     assert got == {"a": (3, 11.0), "b": (1, 5.0)}
+
+
+def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
+    """Restart-with-growth: after a drain completes, a NEW source file
+    arrives and the stream restarts from the same checkpoint — the
+    second run must process exactly the new file (incremental offsets),
+    never re-land the old epochs, and the combined sink must equal one
+    batch read of the whole directory. This is the daily-ingest loop:
+    each restart picks up the delta, exactly once."""
+    import os
+
+    from dask_distributed_vanilla_spark.streaming import sinks
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.range(0, 100).toDF("id").write.parquet(f"{src_dir}/f1.parquet")
+    stream = spark.readStream.schema("id long").parquet(f"{src_dir}/*")
+
+    q = sinks.start_exactly_once_parquet(stream, out, ckpt)
+    q.awaitTermination()
+    assert spark.read.parquet(out).count() == 100
+    epochs_before = set(
+        spark.read.parquet(out).select(sinks.EPOCH_COL).distinct().toPandas()[
+            sinks.EPOCH_COL
+        ]
+    )
+
+    spark.range(100, 130).toDF("id").write.parquet(f"{src_dir}/f2.parquet")
+    q2 = sinks.start_exactly_once_parquet(stream, out, ckpt)
+    q2.awaitTermination()
+
+    landed = spark.read.parquet(out)
+    assert landed.count() == 130
+    assert landed.select("id").distinct().count() == 130
+    # the restart landed only NEW epochs — old epoch partitions untouched
+    new_epochs = (
+        set(landed.select(sinks.EPOCH_COL).distinct().toPandas()[sinks.EPOCH_COL])
+        - epochs_before
+    )
+    assert new_epochs  # progressed
+    assert (
+        landed.where(F.col(sinks.EPOCH_COL).isin(list(new_epochs))).count() == 30
+    )
