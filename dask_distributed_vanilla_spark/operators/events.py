@@ -1419,7 +1419,64 @@ GROUP BY e.event_type ORDER BY e.event_type
 """
 
 
+def e37_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point localization per event type: the running sum
+    of standardized deviations S_i = Σ (x_j − μ)/σ peaks exactly where
+    the mean shifts — dq_drift says *that* two epochs differ, this says
+    *when* the series broke (the alert a pipeline monitor pages on).
+
+    One event_type shuffle carries everything: μ/σ as unbounded-frame
+    analytic windows (e21's trick), the cumulative sum as an ordered
+    running window over the same partition, and the peak via one more
+    unbounded max — no joins, no second pass over the facts. A
+    partition streams its sorted run, so per-type state is O(1) and
+    skewed types are bounded by the partition sort, not memory.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wt = Window.partitionBy("event_type")
+    wrun = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    d = (F.col("value") - F.avg("value").over(wt)) / F.stddev_samp("value").over(wt)
+    scored = ev.select(
+        "event_type", "ts", "event_id", F.sum(d).over(wrun).alias("s")
+    ).withColumn("abs_s", F.abs(F.col("s")))
+    peak = scored.withColumn("max_abs_s", F.max("abs_s").over(wt)).where(
+        F.col("abs_s") == F.col("max_abs_s")
+    )
+    return (
+        peak.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_peaks"),
+            F.min("event_id").alias("peak_event_id"),
+            F.round(F.min("max_abs_s"), 2).alias("max_abs_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+E37_SQL = """
+WITH dev AS (
+  SELECT event_type, ts, event_id,
+         (value - AVG(value) OVER (PARTITION BY event_type))
+           / STDDEV_SAMP(value) OVER (PARTITION BY event_type) AS d
+  FROM events),
+scored AS (
+  SELECT event_type, event_id,
+         SUM(d) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS s
+  FROM dev),
+peaked AS (
+  SELECT event_type, event_id, ABS(s) AS abs_s,
+         MAX(ABS(s)) OVER (PARTITION BY event_type) AS max_abs_s
+  FROM scored)
+SELECT event_type, COUNT(*) AS n_peaks,
+       MIN(event_id) AS peak_event_id,
+       ROUND(MIN(max_abs_s), 2) AS max_abs_s
+FROM peaked WHERE abs_s = max_abs_s
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "e37_cusum": e37_cusum,
     "e36_mad": e36_mad,
     "e35_abtest": e35_abtest,
     "e34_seasonality": e34_seasonality,
@@ -1458,6 +1515,7 @@ QUERIES = {
     "e15_range_window": e15_range_window,
 }
 ORACLES = {
+    "e37_cusum": E37_SQL,
     "e36_mad": E36_SQL,
     "e35_abtest": E35_SQL,
     "e34_seasonality": E34_SQL,

@@ -81,19 +81,25 @@ def linalg_workloads(spark, scale: str = "small") -> dict:
             p
             for _, p in sorted(
                 linalg.random_row_panels(
-                    spark, bc_n, bc_n, max(bc_n // 16, 256), seed=7
+                    spark, bc_n, bc_n, max(bc_n // 32, 256), seed=7
                 ).collect()
             )
         ]
     )
-    panels = linalg.random_row_panels(spark, bc_n, bc_n, max(bc_n // 16, 256), seed=8)
+    t_gen = time.perf_counter() - t0
+    # panel count = 2× the core count so the map-side GEMMs fill the
+    # executor while each stays cache-blocked (n/32 rows × n)
+    t0 = time.perf_counter()
+    panels = linalg.random_row_panels(spark, bc_n, bc_n, max(bc_n // 32, 256), seed=8)
     linalg.matmul_broadcast(spark, panels, b_local).map(
         lambda kv: float(kv[1].sum())
     ).sum()
     results["matmul_broadcast"] = {
         "n": bc_n,
         "plan": "broadcast operand, zero shuffle",
+        "gen_collect_sec": round(t_gen, 3),
         "sec": round(time.perf_counter() - t0, 3),
+        "gflops": round(2 * bc_n**3 / 1e9 / (time.perf_counter() - t0), 1),
     }
 
     t0 = time.perf_counter()
