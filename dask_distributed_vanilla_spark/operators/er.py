@@ -154,6 +154,139 @@ def er_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fastss_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL verified pair set (er_match_pairs without the display
+    limit) — the edge list downstream consolidation clusters on."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    sigs = c.select(
+        "c_custkey",
+        "c_name",
+        F.explode(
+            F.array_union(
+                F.array(F.col("c_name")),
+                F.expr(
+                    "transform(sequence(1, length(c_name)), i ->"
+                    " concat(substr(c_name, 1, i-1), substr(c_name, i+1, length(c_name))))"
+                ),
+            )
+        ).alias("sig"),
+    )
+    a, b = sigs.repartition(F.col("sig")).alias("a"), sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("left_key"),
+            F.col("b.c_custkey").alias("right_key"),
+            F.col("a.c_name").alias("ln"),
+            F.col("b.c_name").alias("rn"),
+        )
+        .distinct()
+        .where(F.levenshtein("ln", "rn") <= 1)
+        .select("left_key", "right_key")
+    )
+
+
+def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity consolidation ("golden record"): cluster the d≤1 fuzzy
+    matches into entities and emit one consolidated row per multi-member
+    entity — canonical id = min key, canonical name = that row's name,
+    best-of attributes (max acctbal) across members. This is the step
+    AFTER matching that every MDM / record-linkage pipeline ships:
+    match pairs are evidence, the golden record is the product.
+
+    Scale shape: edges come from the linear FastSS signature join (never
+    n²); clustering is min-label propagation over the edge list —
+    edit-distance-1 name clusters have tiny diameter, so 4 rounds with a
+    checkpointed frontier converge (same iterative contract as
+    dedup_cc); consolidation is one groupBy over the labeled keys plus a
+    broadcast-sized join back for the canonical names. Verified against
+    a recursive-CTE + quadratic-θ-join oracle.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    pairs = _fastss_pairs(spark, sf_dir).localCheckpoint()
+    edges = pairs.union(
+        pairs.select(F.col("right_key").alias("left_key"), F.col("left_key").alias("right_key"))
+    ).toDF("node", "nbr")
+    labels = cust.select(F.col("c_custkey").alias("node"), F.col("c_custkey").alias("label"))
+    changed = 1
+    for _ in range(8):
+        prop = (
+            edges.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+            .groupBy("node")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        # dedup_cc's convergence contract: the changed flag rides the
+        # checkpointed frame, so the fixpoint test is a cached scan
+        new_labels = (
+            labels.join(prop, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "label"
+                ),
+                (F.coalesce(F.col("nbr_label"), F.col("label")) < F.col("label")).alias("chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.where(F.col("chg")).limit(1).count()
+        labels = new_labels.drop("chg")
+        if changed == 0:
+            break
+    if changed != 0:
+        import warnings
+
+        warnings.warn(
+            "er_golden_record: label propagation did not reach a fixpoint "
+            "within 8 rounds; cluster ids may be unconverged",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    g = (
+        labels.join(cust, labels.node == cust.c_custkey)
+        .groupBy(F.col("label").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.max("c_acctbal"), 2).alias("max_acctbal"),
+        )
+        .where(F.col("n_members") >= 2)
+    )
+    canon = cust.select(F.col("c_custkey").alias("cluster_id"), F.col("c_name").alias("canonical_name"))
+    return (
+        g.join(canon, "cluster_id")
+        .select("cluster_id", "n_members", "canonical_name", "max_acctbal")
+        .orderBy("cluster_id")
+    )
+
+
+ER_GOLDEN_RECORD_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.c_custkey AS pa, b.c_custkey AS pb
+  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+edges AS (SELECT pa AS node, pb AS nbr FROM pairs
+          UNION ALL SELECT pb, pa FROM pairs),
+reach(node, label) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION
+  SELECT e.node, r.label FROM edges e JOIN reach r ON r.node = e.nbr),
+labels AS (SELECT node AS c_custkey, MIN(label) AS cluster_id FROM reach GROUP BY 1),
+g AS (
+  SELECT l.cluster_id, COUNT(*) AS n_members,
+         ROUND(MAX(c.c_acctbal), 2) AS max_acctbal
+  FROM labels l JOIN customer c USING (c_custkey)
+  GROUP BY 1 HAVING COUNT(*) >= 2)
+SELECT g.cluster_id, g.n_members, cc.c_name AS canonical_name, g.max_acctbal
+FROM g JOIN customer cc ON cc.c_custkey = g.cluster_id
+ORDER BY g.cluster_id
+"""
+
+
 ER_MATCH_PAIRS_SQL = """
 SELECT a.c_custkey AS left_key, b.c_custkey AS right_key,
        levenshtein(a.c_name, b.c_name) AS d
@@ -164,10 +297,12 @@ ORDER BY 1, 2 LIMIT 1000
 
 
 QUERIES = {
+    "er_golden_record": er_golden_record,
     "er_blocking": er_blocking,
     "er_match_pairs": er_match_pairs,
 }
 ORACLES = {
+    "er_golden_record": ER_GOLDEN_RECORD_SQL,
     "er_blocking": ER_BLOCKING_SQL,
     "er_match_pairs": ER_MATCH_PAIRS_SQL,
 }

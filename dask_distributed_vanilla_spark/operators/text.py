@@ -766,7 +766,69 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the langid heuristic against the corpus'
+    ground-truth `lang` label, with per-label recall — the evaluation
+    pass that decides whether a cheap classifier is good enough to
+    route a 100 TB mix (and which language pairs it confuses). One
+    scan scores, one (label, pred) aggregate counts: the matrix is
+    |langs|² rows however large the corpus.
+    """
+    from pyspark.sql import Window
+
+    t = _with_words(load_table(spark, sf_dir, "documents"), extra=("lang",))
+    words = F.col("w")
+    scores = {lang: _count_in(words, vocab) for lang, vocab in LANG_MARKERS.items()}
+    pred = (
+        F.when(
+            (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["fr"])
+            & (scores["en"] >= scores["de"]),
+            "en",
+        )
+        .when((scores["es"] >= scores["fr"]) & (scores["es"] >= scores["de"]), "es")
+        .when(scores["fr"] >= scores["de"], "fr")
+        .otherwise("de")
+    )
+    cell = t.select(F.col("lang").alias("label"), pred.alias("pred")).groupBy(
+        "label", "pred"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wl = Window.partitionBy("label")
+    return (
+        cell.withColumn("label_total", F.sum("n").over(wl))
+        .select(
+            "label",
+            "pred",
+            "n",
+            round2(F.col("n") / F.col("label_total")).alias("share"),
+        )
+        .orderBy("label", "pred")
+    )
+
+
+def _lang_confusion_sql() -> str:
+    score_cols = ", ".join(
+        f"{_sql_count_in(vocab)} AS score_{lang}" for lang, vocab in LANG_MARKERS.items()
+    )
+    return f"""
+WITH t AS (SELECT doc_id, lang AS label, string_split(text, ' ') AS w FROM documents),
+s AS (SELECT doc_id, label, {score_cols} FROM t),
+p AS (
+  SELECT label,
+         CASE WHEN score_en >= score_es AND score_en >= score_fr AND score_en >= score_de THEN 'en'
+              WHEN score_es >= score_fr AND score_es >= score_de THEN 'es'
+              WHEN score_fr >= score_de THEN 'fr'
+              ELSE 'de' END AS pred
+  FROM s),
+cell AS (SELECT label, pred, COUNT(*) AS n FROM p GROUP BY 1, 2)
+SELECT label, pred, n,
+       {round2_sql("n * 1.0 / SUM(n) OVER (PARTITION BY label)")} AS share
+FROM cell ORDER BY label, pred
+"""
+
+
 QUERIES = {
+    "text_lang_confusion": text_lang_confusion,
     "bpe_merges": bpe_merges,
     "text_oov_rate": text_oov_rate,
     "text_normalize": text_normalize,
@@ -785,6 +847,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_lang_confusion": _lang_confusion_sql(),
     "bpe_merges": None,  # greedy recurrence not SQL-expressible; Counter-pinned in pytest
     "text_oov_rate": TEXT_OOV_SQL,
     "text_normalize": TEXT_NORMALIZE_SQL,
