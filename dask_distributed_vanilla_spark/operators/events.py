@@ -1475,7 +1475,45 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def e39_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of value per user — the time-series
+    diagnostic that separates independent readings from sticky state
+    (near 0 = iid feed, near ±1 = the sensor/session carries memory; a
+    sudden jump is a pipeline bug like repeated frames). The lag rides
+    the same user_id shuffle as every sequence operator (e5/e28/e33):
+    one window for lag, then corr as a partial+final aggregate on the
+    already-partitioned rows — no second exchange. Users below 20
+    pairs are dropped (corr noise floor).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id", "value", F.lag("value").over(w).alias("prev")
+    ).where(F.col("prev").isNotNull())
+    return (
+        lagged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (F.floor(F.corr("value", "prev") * 100 + F.lit(0.5)) / 100).alias("autocorr"),
+        )
+        .where(F.col("n_pairs") >= 20)
+        .orderBy("user_id")
+    )
+
+
+E39_SQL = """
+WITH lagged AS (
+  SELECT user_id, value,
+         LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT user_id, COUNT(*) AS n_pairs, FLOOR(CORR(value, prev) * 100 + 0.5) / 100 AS autocorr
+FROM lagged WHERE prev IS NOT NULL
+GROUP BY user_id HAVING COUNT(*) >= 20 ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "e39_autocorr": e39_autocorr,
     "e37_cusum": e37_cusum,
     "e36_mad": e36_mad,
     "e35_abtest": e35_abtest,
@@ -1515,6 +1553,7 @@ QUERIES = {
     "e15_range_window": e15_range_window,
 }
 ORACLES = {
+    "e39_autocorr": E39_SQL,
     "e37_cusum": E37_SQL,
     "e36_mad": E36_SQL,
     "e35_abtest": E35_SQL,

@@ -311,13 +311,73 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit per event type: organic
+    magnitude-spanning measurements follow P(d) = log10(1+1/d);
+    fabricated or clipped feeds don't — the classic cheap
+    synthetic-data / fraud smell test, here per source stream.
+
+    The first digit comes from the decimal STRING rendering (first
+    [1-9] char), not from log/power float math — the one formulation
+    two engines are guaranteed to agree on at every boundary (10.00,
+    0.01, …). One scan + one (type, digit) aggregate; the deviation
+    column carries the comparison against the Benford expectation.
+    """
+    import math
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value") > 0)
+    digit = F.regexp_extract(F.col("value").cast("string"), "[1-9]", 0).cast("int")
+    cell = ev.select("event_type", digit.alias("digit")).groupBy(
+        "event_type", "digit"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    wt = Window.partitionBy("event_type")
+    share = F.col("n") / F.sum("n").over(wt)
+    expected = F.element_at(
+        F.array(*[F.lit(round(math.log10(1 + 1 / d), 4)) for d in range(1, 10)]),
+        F.col("digit"),
+    )
+    return (
+        cell.select(
+            "event_type",
+            "digit",
+            "n",
+            F.floor(share * 100 + F.lit(0.5)).cast("double").alias("share_pct"),
+            (F.floor((share - expected) * 100 + F.lit(0.5))).cast("double").alias(
+                "dev_pct"
+            ),
+        )
+        .orderBy("event_type", "digit")
+    )
+
+
+DQ_BENFORD_SQL = """
+WITH pos AS (SELECT event_type, value FROM events WHERE value > 0),
+cell AS (
+  SELECT event_type,
+         CAST(regexp_extract(CAST(value AS VARCHAR), '[1-9]') AS INT) AS digit,
+         COUNT(*) AS n
+  FROM pos GROUP BY 1, 2),
+exp AS (SELECT d AS digit, round(log10(1 + 1.0/d), 4) AS expected
+        FROM generate_series(1, 9) t(d))
+SELECT c.event_type, c.digit, c.n,
+       CAST(FLOOR(c.n * 100.0 / SUM(c.n) OVER (PARTITION BY c.event_type) + 0.5) AS DOUBLE) AS share_pct,
+       CAST(FLOOR((c.n * 1.0 / SUM(c.n) OVER (PARTITION BY c.event_type) - e.expected) * 100 + 0.5) AS DOUBLE) AS dev_pct
+FROM cell c JOIN exp e USING (digit)
+ORDER BY c.event_type, c.digit
+"""
+
+
 QUERIES = {
+    "dq_benford": dq_benford,
     "dq_audit": dq_audit,
     "dq_profile": dq_profile,
     "dq_kanon": dq_kanon,
     "dq_drift": dq_drift,
 }
 ORACLES = {
+    "dq_benford": DQ_BENFORD_SQL,
     "dq_audit": DQ_AUDIT_SQL,
     "dq_profile": DQ_PROFILE_SQL,
     "dq_kanon": DQ_KANON_SQL,
