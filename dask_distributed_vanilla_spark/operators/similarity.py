@@ -798,7 +798,87 @@ def emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OUTLIER_K = 5  # most-suspicious vectors reported per label
+
+
+def emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-coherence outliers: the {k} vectors per label with the
+    LOWEST cosine to their own label centroid — the mislabeled/garbage
+    candidates an embedding-cleaning pass sends to review (SemDeDup
+    prunes near-duplicates; this prunes the opposite tail).
+
+    Fully relational — no array reassembly: vectors posexplode once,
+    (label, dim) partial means form the centroids (shuffle width
+    |labels|·dim regardless of corpus size), and each vector's dot with
+    its centroid is an equi-join on (label, pos) + one per-vector sum,
+    ranked bottom-k per label. Ranking keys on the binary-rounded
+    cosine, so the order is engine-exact.
+    """
+    from dask_distributed_vanilla_spark.functions.rounding import round2
+    from dask_distributed_vanilla_spark.functions.vector import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("vec_id", "label", F.posexplode("embedding").alias("pos", "x"))
+    cent = ex.groupBy("label", "pos").agg(F.avg("x").alias("cv"))
+    cent_norm = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("cv") * F.col("cv"))).alias("cent_norm")
+    )
+    dots = (
+        ex.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.col("x") * F.col("cv")).alias("dot"))
+    )
+    vnorm = emb.select("vec_id", l2_norm(F.col("embedding")).alias("vnorm"))
+    cos = (
+        dots.join(vnorm, "vec_id")
+        .join(F.broadcast(cent_norm), "label")
+        .select(
+            "label",
+            "vec_id",
+            (F.col("dot") / (F.col("vnorm") * F.col("cent_norm"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.floor(F.col("cos") * 10000 + F.lit(0.5)), "vec_id"
+    )
+    return (
+        cos.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= OUTLIER_K)
+        .select("label", "rank", "vec_id", round2(F.col("cos")).alias("cos_centroid"))
+        .orderBy("label", "rank")
+    )
+
+
+def _emb_outliers_sql() -> str:
+    from dask_distributed_vanilla_spark.functions.rounding import round2_sql
+
+    return f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ex AS (SELECT vec_id, label, unnest(v) AS x,
+              generate_subscripts(v, 1) AS pos FROM e),
+cent AS (SELECT label, pos, AVG(x) AS cv FROM ex GROUP BY 1, 2),
+cn AS (SELECT label, sqrt(SUM(cv * cv)) AS cent_norm FROM cent GROUP BY 1),
+dots AS (
+  SELECT ex.vec_id, ex.label, SUM(ex.x * c.cv) AS dot
+  FROM ex JOIN cent c ON ex.label = c.label AND ex.pos = c.pos
+  GROUP BY 1, 2),
+vn AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS vnorm FROM e),
+cos AS (
+  SELECT d.label, d.vec_id, d.dot / (vn.vnorm * cn.cent_norm) AS cos
+  FROM dots d JOIN vn USING (vec_id) JOIN cn USING (label)),
+ranked AS (
+  SELECT label, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY FLOOR(cos * 10000 + 0.5), vec_id) AS rank
+  FROM cos)
+SELECT label, CAST(rank AS INT) AS rank, vec_id,
+       {round2_sql("cos")} AS cos_centroid
+FROM ranked WHERE rank <= {OUTLIER_K} ORDER BY label, rank
+"""
+
+
 QUERIES = {
+    "emb_outliers": emb_outliers,
     "emb_pca": emb_pca,
     "ann_hybrid_rrf": ann_hybrid_rrf,
     "emb_quantize": emb_quantize,
@@ -810,6 +890,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "emb_outliers": _emb_outliers_sql(),
     "emb_pca": None,  # no SQL eigensolver: rows-only; numpy-pinned in pytest
     "ann_hybrid_rrf": _hybrid_rrf_sql(),
     "emb_quantize": EMB_QUANTIZE_SQL,

@@ -213,3 +213,25 @@ def test_bpe_merges_matches_reference_impl(spark):
                     i += 1
             seqs[w] = tuple(out)
     assert got == want
+
+
+def test_text_compress_ratio_matches_zlib(spark):
+    """The Arrow-batched compression scorer must equal direct python
+    zlib over the raw parquet, byte-for-byte — the differential check
+    for the rows-only entry."""
+    import zlib
+
+    import pandas as pd
+
+    from dask_distributed_vanilla_spark.operators.text import text_compress_ratio
+
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["n_compressed"])
+        for r in text_compress_ratio(spark, SF_SMOKE).collect()
+    }
+    raw = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[["doc_id", "text"]]
+    want = {
+        int(r.doc_id): (len(r.text.encode()), len(zlib.compress(r.text.encode(), 6)))
+        for r in raw.itertuples()
+    }
+    assert got == want
