@@ -37,6 +37,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import col as F_col
 
 _LOG = "_log"
 
@@ -63,12 +64,16 @@ def latest_version(path: str) -> int:
     return e[-1]["version"] if e else -1
 
 
-def _commit(path: str, adds: list[str], removes: list[str]) -> int:
+def _commit(
+    path: str, adds: list[str], removes: list[str], stats: dict | None = None
+) -> int:
     """Atomically claim the next version (O_EXCL log create); on a race
     the loser re-reads the log tip and retries."""
     while True:
         version = latest_version(path) + 1
         entry = {"version": version, "adds": adds, "removes": removes}
+        if stats:
+            entry["stats"] = stats
         target = os.path.join(_log_dir(path), f"{version:08d}.json")
         try:
             fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -79,22 +84,64 @@ def _commit(path: str, adds: list[str], removes: list[str]) -> int:
         return version
 
 
-def write_append(df: DataFrame, path: str) -> int:
+def _file_stats(file_path: str, cols: list[str]) -> dict:
+    """Per-column [min, max] from the parquet footer's row-group
+    statistics — already written by every writer, so collecting them is
+    a metadata read, never a data scan. Columns without usable stats
+    are omitted (the reader then treats the file as always-live)."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(file_path)
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out: dict = {}
+    for col in cols:
+        i = names.get(col)
+        if i is None:
+            continue
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(i).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if ok and lo is not None and _json_roundtrips(lo) and _json_roundtrips(hi):
+            out[col] = [lo, hi]
+    return out
+
+
+def _json_roundtrips(v) -> bool:
+    try:
+        json.dumps(v)
+        return True
+    except TypeError:
+        return False
+
+
+def write_append(df: DataFrame, path: str, stats_cols: list[str] | None = None) -> int:
     """Append `df` as a new commit; returns the committed version.
-    Data files land BEFORE the log entry references them."""
+    Data files land BEFORE the log entry references them. When
+    `stats_cols` is given, per-file [min, max] of those columns ride
+    the commit entry (Delta/Iceberg-style data skipping metadata) so
+    `read_pruned` can drop files without opening them."""
     os.makedirs(path, exist_ok=True)
     staging = os.path.join(path, f"_staging_{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
     adds = []
+    stats: dict = {}
     for name in os.listdir(staging):
         if name.endswith(".parquet"):
             final = f"part-{uuid.uuid4().hex}.parquet"
             os.rename(os.path.join(staging, name), os.path.join(path, final))
             adds.append(final)
+            if stats_cols:
+                stats[final] = _file_stats(os.path.join(path, final), stats_cols)
     for leftover in os.listdir(staging):
         os.remove(os.path.join(staging, leftover))
     os.rmdir(staging)
-    return _commit(path, adds, [])
+    return _commit(path, adds, [], stats=stats or None)
 
 
 def snapshot_files(path: str, version: int | None = None) -> list[str]:
@@ -124,6 +171,48 @@ def read_versioned(
         spark.read.option("mergeSchema", "true")
         .parquet(*[os.path.join(path, f) for f in files])
     )
+
+
+def snapshot_files_pruned(
+    path: str, col: str, lo, hi, version: int | None = None
+) -> tuple[list[str], int]:
+    """Data skipping: live files whose commit-log [min, max] for `col`
+    overlaps [lo, hi]. Files with no recorded stats are conservatively
+    kept. Returns (files, n_skipped) — the decision uses only the
+    KB-sized log, no parquet footer is opened."""
+    stats: dict = {}
+    for entry in _entries(path):
+        if version is not None and entry["version"] > version:
+            break
+        stats.update(entry.get("stats") or {})
+    live = snapshot_files(path, version)
+    kept, skipped = [], 0
+    for f in live:
+        s = stats.get(f, {}).get(col)
+        if s is not None and (s[1] < lo or s[0] > hi):
+            skipped += 1
+        else:
+            kept.append(f)
+    return kept, skipped
+
+
+def read_pruned(
+    spark: SparkSession, path: str, col: str, lo, hi, version: int | None = None
+) -> DataFrame:
+    """Snapshot read with commit-log file skipping on `col` ∈ [lo, hi]
+    — the table-format half of data skipping (parquet row-group
+    min-max handles the within-file half after this). The exact
+    predicate is still applied, so the result equals an unpruned read
+    plus filter; skipping only removes provably-dead IO."""
+    files, _ = snapshot_files_pruned(path, col, lo, hi, version)
+    if not files:
+        return read_versioned(spark, path, version).filter(
+            (F_col(col) >= lo) & (F_col(col) <= hi)
+        ).limit(0)
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, f) for f in files]
+    )
+    return df.filter((F_col(col) >= lo) & (F_col(col) <= hi))
 
 
 def compact(spark: SparkSession, path: str) -> int:

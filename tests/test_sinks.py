@@ -331,3 +331,40 @@ def test_versioned_table_schema_evolution(spark, tmp_path):
     v0 = read_versioned(spark, p, version=0)
     assert v0.columns == ["id"]
     assert v0.count() == 5
+
+
+def test_versioned_table_file_skipping(spark, tmp_path):
+    """Commit-log data skipping: per-file [min,max] recorded at append
+    time lets a range read drop non-overlapping files WITHOUT opening
+    any parquet footer — and the pruned result is exactly the unpruned
+    read plus the filter."""
+    from dask_distributed_vanilla_spark.sources.versioned import (
+        read_pruned,
+        read_versioned,
+        snapshot_files_pruned,
+        write_append,
+    )
+
+    p = str(tmp_path / "skipping")
+    # four disjoint id ranges -> four commits, one file each
+    for lo in (0, 100, 200, 300):
+        write_append(
+            spark.range(lo, lo + 100).coalesce(1).toDF("id"), p, stats_cols=["id"]
+        )
+
+    files, skipped = snapshot_files_pruned(p, "id", 150, 160)
+    assert skipped == 3 and len(files) == 1  # only the [100,200) file survives
+
+    got = sorted(r["id"] for r in read_pruned(spark, p, "id", 150, 160).collect())
+    want = sorted(
+        r["id"]
+        for r in read_versioned(spark, p).filter("id BETWEEN 150 AND 160").collect()
+    )
+    assert got == want == list(range(150, 161))
+
+    # stats-less commits stay conservatively readable
+    write_append(spark.range(400, 410).coalesce(1).toDF("id"), p)  # no stats
+    files2, skipped2 = snapshot_files_pruned(p, "id", 150, 160)
+    assert len(files2) == 2 and skipped2 == 3  # unknown file kept
+    got2 = sorted(r["id"] for r in read_pruned(spark, p, "id", 150, 160).collect())
+    assert got2 == list(range(150, 161))  # exact predicate still applied

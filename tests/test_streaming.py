@@ -199,3 +199,29 @@ def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
     assert (
         landed.where(F.col(sinks.EPOCH_COL).isin(list(new_epochs))).count() == 30
     )
+
+
+def test_rocksdb_state_store_matches_default(spark):
+    """The disk-backed RocksDB state store — the provider a production
+    deployment runs so streaming state is bounded by SSD, not executor
+    heap — must produce byte-identical windowed aggregates to the
+    default in-memory HDFS-backed provider."""
+    from dask_distributed_vanilla_spark.plans.canonical import canonical
+    from dask_distributed_vanilla_spark.streaming.events_stream import stream_e1
+
+    base = stream_e1(spark, SF_SMOKE).toPandas()
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rocks = stream_e1(spark, SF_SMOKE).toPandas()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    assert canonical(base) == canonical(rocks)
