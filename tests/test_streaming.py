@@ -225,3 +225,86 @@ def test_rocksdb_state_store_matches_default(spark):
         else:
             spark.conf.set(key, old)
     assert canonical(base) == canonical(rocks)
+
+
+def test_watermark_bounds_join_state(spark, tmp_path):
+    """The scale contract of the stream-stream join, measured: replay
+    the events as ten chronological files so the watermark advances
+    batch by batch — the time-bounded interval join must EXPIRE state,
+    holding peak state rows FAR below the total matched-type rows
+    ingested (an unbounded-state join retains them all)."""
+    import time
+    import uuid
+
+    from dask_distributed_vanilla_spark.streaming.events_stream import _stream_shuffle
+
+    # ten chronological chunks -> ten micro-batches, watermark advancing
+    src = str(tmp_path / "chunks")
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    n = ev.count()
+    chunk = (n + 9) // 10
+    rows = ev.orderBy("ts").collect()
+    for i in range(10):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(part, ev.schema).coalesce(1).write.parquet(
+                f"{src}/f{i:02d}.parquet"
+            )
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(f"{src}/*")
+    if dict(stream.dtypes)["ts"] != "timestamp":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purch_id"),
+            F.col("ts").alias("purch_ts"),
+        )
+        .withWatermark("purch_ts", "2 hours")
+    )
+    sink = f"state_bound_{uuid.uuid4().hex[:8]}"
+    with _stream_shuffle(spark, 4):
+        q = (
+            clicks.join(
+                purchases,
+                (F.col("user_id") == F.col("p_user_id"))
+                & (F.col("purch_ts") >= F.col("click_ts"))
+                & (F.col("purch_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        peak_state = 0
+        while q.isActive:
+            p = q.lastProgress
+            if p and p.get("stateOperators"):
+                peak_state = max(
+                    peak_state, p["stateOperators"][0].get("numRowsTotal", 0)
+                )
+            time.sleep(0.5)
+        q.awaitTermination()
+        p = q.lastProgress
+        if p and p.get("stateOperators"):
+            peak_state = max(peak_state, p["stateOperators"][0].get("numRowsTotal", 0))
+
+    joined_type_rows = ev.where(
+        F.col("event_type").isin("click", "purchase")
+    ).count()
+    assert peak_state > 0  # the join kept some state
+    # the stream spans ~30 days; a 2h watermark + 1h interval keeps only
+    # a sliver of it alive at once — far below retain-everything
+    assert peak_state < joined_type_rows / 2
