@@ -64,6 +64,13 @@ def main() -> None:
         timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
+    # TPC-H-style power metric: geometric mean over the full-fidelity
+    # Tier B suite (b1-b22) — the single-number the reference's TPC-H
+    # harness reports, robust to one slow outlier
+    b_times = [v for k, v in timings.items() if k.startswith("b") and k[1:].isdigit()]
+    tpch_geomean = (
+        round(statistics.geometric_mean(b_times), 3) if b_times else None
+    )
 
     # auxiliary (non-suite) metrics: planted-hot-key skew proof and the
     # array workloads — skippable via SPARK_GRAFT_BENCH_AUX=0
@@ -113,6 +120,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "tpch_geomean_sec": tpch_geomean,
                 "aux": aux,
                 "sf": sf,
                 "n_queries": len(timings),
