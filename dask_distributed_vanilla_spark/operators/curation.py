@@ -561,7 +561,70 @@ ORDER BY lang, cum_chars
 """
 
 
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every ordered source pair,
+    how many distinct 5-gram shingles they share and what fraction of
+    the left source's shingles that is — the governance readout behind
+    "how much of feed A is already in feed B" (dataset licensing,
+    double-counting in the mix, and train/eval bleed all start here).
+
+    Scale shape: shingles reduce to DISTINCT (source, md5) pairs before
+    anything joins — text never crosses an exchange — and the pair join
+    is on the 32-byte digest with both sides df-capped by construction
+    (a shingle appears once per source). Work is Σ_shingle
+    (#sources holding it)², bounded by the source count, not the
+    corpus; per-source shingle totals broadcast back for the ratio.
+    """
+    from dask_distributed_vanilla_spark.operators.dedup import shingles_from_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("source", F.split(F.col("text"), " ").alias("words"))
+    sh = words.select(
+        "source",
+        F.explode(F.array_distinct(shingles_from_words(F.col("words"), 5))).alias("sh"),
+    ).select("source", F.md5("sh").alias("h")).distinct()
+    totals = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.source") != F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src"), F.col("b.source").alias("other"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(F.broadcast(totals.withColumnRenamed("source", "src")), "src")
+        .select(
+            "src",
+            "other",
+            "n_shared",
+            (F.floor(F.col("n_shared") * 100.0 / F.col("n_shingles") + F.lit(0.5)) / 100)
+            .alias("share_of_src"),
+        )
+        .orderBy("src", "other")
+    )
+
+
+SOURCE_OVERLAP_SQL = """
+WITH t AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+sh0 AS (
+  SELECT source, md5(w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]) AS h
+  FROM t, UNNEST(generate_series(1, len(w) - 4)) AS u(i)
+  WHERE len(w) >= 5),
+sh AS (SELECT DISTINCT source, h FROM sh0),
+totals AS (SELECT source, COUNT(*) AS n_shingles FROM sh GROUP BY 1),
+shared AS (
+  SELECT a.source AS src, b.source AS other, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.h = b.h AND a.source <> b.source
+  GROUP BY 1, 2)
+SELECT s.src, s.other, s.n_shared,
+       FLOOR(s.n_shared * 100.0 / t.n_shingles + 0.5) / 100 AS share_of_src
+FROM shared s JOIN totals t ON t.source = s.src
+ORDER BY s.src, s.other
+"""
+
+
 QUERIES = {
+    "source_overlap": source_overlap,
     "sample_weighted": sample_weighted,
     "sample_mixture": sample_mixture,
     "doc_chunks": doc_chunks,
@@ -576,6 +639,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "source_overlap": SOURCE_OVERLAP_SQL,
     "sample_weighted": SAMPLE_WEIGHTED_SQL,
     "sample_mixture": SAMPLE_MIXTURE_SQL,
     "doc_chunks": DOC_CHUNKS_SQL,
