@@ -215,29 +215,37 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).toDF("node", "nbr")
     labels = cust.select(F.col("c_custkey").alias("node"), F.col("c_custkey").alias("label"))
     changed = 1
-    for _ in range(8):
-        prop = (
-            edges.join(labels.withColumnRenamed("node", "nbr"), "nbr")
-            .groupBy("node")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        # dedup_cc's convergence contract: the changed flag rides the
-        # checkpointed frame, so the fixpoint test is a cached scan
-        new_labels = (
-            labels.join(prop, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
-                    "label"
-                ),
-                (F.coalesce(F.col("nbr_label"), F.col("label")) < F.col("label")).alias("chg"),
+    # the label table is node-sized and the edge list match-sized — 8
+    # partitions keep per-round task overhead below the work (dedup_cc's
+    # loop sizing rule); restore the batch default on exit
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for _ in range(8):
+            prop = (
+                edges.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+                .groupBy("node")
+                .agg(F.min("label").alias("nbr_label"))
             )
-            .localCheckpoint()
-        )
-        changed = new_labels.where(F.col("chg")).limit(1).count()
-        labels = new_labels.drop("chg")
-        if changed == 0:
-            break
+            # dedup_cc's convergence contract: the changed flag rides the
+            # checkpointed frame, so the fixpoint test is a cached scan
+            new_labels = (
+                labels.join(prop, "node", "left")
+                .select(
+                    "node",
+                    F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                        "label"
+                    ),
+                    (F.coalesce(F.col("nbr_label"), F.col("label")) < F.col("label")).alias("chg"),
+                )
+                .localCheckpoint()
+            )
+            changed = new_labels.where(F.col("chg")).limit(1).count()
+            labels = new_labels.drop("chg")
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     if changed != 0:
         import warnings
 
