@@ -246,13 +246,92 @@ FROM geo ORDER BY doc_id
 """
 
 
+AUDIO_WIN = 256  # PCM samples per analysis window
+
+
+def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over binary payloads: treat the payload
+    as unsigned 8-bit PCM and compute windowed RMS energy ({win}-sample
+    frames) — the silence-detection / loudness-profiling pass of an
+    audio ingest pipeline, run through the same mapInPandas plumbing as
+    the image decode (Python IS the operator: numpy vectorized per
+    Arrow batch, only per-doc scalars return).
+
+    Hash-judgeable despite float math: window sums are sums of ≤2^24
+    integers (exact in float64 in any order), the mean divides by a
+    power of two, and sqrt is correctly rounded — so both engines
+    produce bit-identical RMS values with no rounding tricks needed
+    (they are rounded anyway for display).
+    """
+    import numpy as np
+
+    docs = with_payload(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "payload"
+    )
+
+    def rms(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                x = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+                nw = len(x) // AUDIO_WIN
+                if nw:
+                    w = x[: nw * AUDIO_WIN].reshape(nw, AUDIO_WIN)
+                    r = np.sqrt((w * w).mean(axis=1))
+                    mean_r, peak_r = float(r.mean()), float(r.max())
+                else:
+                    mean_r = peak_r = 0.0
+                rows.append((doc_id, len(x), nw, mean_r, peak_r))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "n_windows", "mean_rms", "peak_rms"],
+            )
+
+    out = docs.mapInPandas(
+        rms,
+        schema="doc_id long, n_samples long, n_windows long, mean_rms double, peak_rms double",
+    )
+    return out.select(
+        "doc_id",
+        "n_samples",
+        "n_windows",
+        F.round("mean_rms", 2).alias("mean_rms"),
+        F.round("peak_rms", 2).alias("peak_rms"),
+    ).orderBy("doc_id")
+
+
+# The payload is encode(text, 'UTF-8') and the fixture text is ASCII, so
+# byte k == ascii(char k) and SQL recomputes the identical windows.
+MULTIMODAL_AUDIO_SQL = f"""
+WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+w AS (SELECT doc_id, text, n,
+             unnest(generate_series(0, CAST(n // {AUDIO_WIN} AS INT) - 1)) AS wi
+      FROM t WHERE n >= {AUDIO_WIN}),
+s AS (SELECT doc_id, wi,
+             ascii(substr(text, CAST(wi * {AUDIO_WIN} + i AS INT), 1)) AS x
+      FROM w, UNNEST(generate_series(1, {AUDIO_WIN})) AS u(i)),
+r AS (SELECT doc_id, wi, sqrt(AVG(CAST(x AS DOUBLE) * x)) AS rms
+      FROM s GROUP BY 1, 2),
+agg AS (SELECT doc_id, COUNT(*) AS n_windows, AVG(rms) AS mean_rms,
+               MAX(rms) AS peak_rms
+        FROM r GROUP BY 1)
+SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_samples,
+       CAST(COALESCE(a.n_windows, 0) AS BIGINT) AS n_windows,
+       ROUND(COALESCE(a.mean_rms, 0.0), 2) AS mean_rms,
+       ROUND(COALESCE(a.peak_rms, 0.0), 2) AS peak_rms
+FROM t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id
+"""
+
+
 QUERIES = {
+    "multimodal_audio_rms": multimodal_audio_rms,
     "multimodal_decode": multimodal_decode,
     "multimodal_frames": multimodal_frames,
     "multimodal_digest": multimodal_digest,
     "multimodal_resize": multimodal_resize,
 }
 ORACLES = {
+    "multimodal_audio_rms": MULTIMODAL_AUDIO_SQL,
     "multimodal_decode": MULTIMODAL_DECODE_SQL,
     "multimodal_frames": MULTIMODAL_FRAMES_SQL,
     "multimodal_digest": MULTIMODAL_DIGEST_SQL,

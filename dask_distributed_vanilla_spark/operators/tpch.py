@@ -675,7 +675,70 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over orders: per-customer recency
+    (latest order date), frequency (order count), monetary (total
+    spend), each scored into quintiles by NTILE, concatenated into the
+    classic 3-digit segment code, rolled up to segment sizes — the
+    marketing-analytics composite every warehouse ships.
+
+    Shape: one customer aggregate (partial+final), then three NTILE
+    windows over the CUSTOMER-level table (cardinality |customers|, not
+    |orders| — the facts never enter a window), with the customer key
+    as tiebreak so quintile edges are deterministic on both engines.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("recency"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    r5 = F.ntile(5).over(Window.orderBy(F.desc("recency"), "o_custkey"))
+    f5 = F.ntile(5).over(Window.orderBy(F.desc("frequency"), "o_custkey"))
+    m5 = F.ntile(5).over(Window.orderBy(F.desc("monetary"), "o_custkey"))
+    scored = per_cust.select(
+        "o_custkey",
+        "monetary",
+        r5.alias("r_score"),
+        f5.alias("f_score"),
+        m5.alias("m_score"),
+    )
+    return (
+        scored.groupBy(
+            F.concat_ws("", F.col("r_score"), F.col("f_score"), F.col("m_score")).alias(
+                "segment"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("monetary"), 2).alias("total_monetary"),
+        )
+        .orderBy("segment")
+    )
+
+
+RFM_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, MAX(o_orderdate) AS recency,
+         COUNT(*) AS frequency, ROUND(SUM(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY 1),
+scored AS (
+  SELECT o_custkey, monetary,
+         NTILE(5) OVER (ORDER BY recency DESC, o_custkey) AS r_score,
+         NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+         NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+  FROM per_cust)
+SELECT CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS segment,
+       COUNT(*) AS n_customers,
+       ROUND(SUM(monetary), 2) AS total_monetary
+FROM scored GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
+    "rfm_segments": rfm_segments,
     "a1": a1,
     "a3": a3,
     "a4": a4,
@@ -695,6 +758,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rfm_segments": RFM_SQL,
     "a1": A1_SQL,
     "a3": A3_SQL,
     "a4": A4_SQL,
