@@ -200,9 +200,9 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: edges come from the linear FastSS signature join (never
     n²); clustering is min-label propagation over the edge list —
-    edit-distance-1 name clusters have tiny diameter, so 4 rounds with a
-    checkpointed frontier converge (same iterative contract as
-    dedup_cc); consolidation is one groupBy over the labeled keys plus a
+    edit-distance-1 name clusters are dense, so a few rounds with a
+    checkpointed changed-flag converge (8-round budget, same iterative
+    contract as dedup_cc — non-fixpoint warns); consolidation is one groupBy over the labeled keys plus a
     broadcast-sized join back for the canonical names. Verified against
     a recursive-CTE + quadratic-θ-join oracle.
     """
