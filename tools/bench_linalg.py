@@ -81,16 +81,17 @@ def linalg_workloads(spark, scale: str = "small") -> dict:
             p
             for _, p in sorted(
                 linalg.random_row_panels(
-                    spark, bc_n, bc_n, max(bc_n // 32, 256), seed=7
+                    spark, bc_n, bc_n, max(bc_n // 16, 256), seed=7
                 ).collect()
             )
         ]
     )
     t_gen = time.perf_counter() - t0
-    # panel count = 2× the core count so the map-side GEMMs fill the
-    # executor while each stays cache-blocked (n/32 rows × n)
+    # 16 panels, NOT one per core: every concurrent Python worker holds
+    # its own deserialized copy of the 2 GB broadcast B, so concurrency
+    # × |B| must fit RAM — 32 workers thrashed (measured 468s vs 256s)
     t0 = time.perf_counter()
-    panels = linalg.random_row_panels(spark, bc_n, bc_n, max(bc_n // 32, 256), seed=8)
+    panels = linalg.random_row_panels(spark, bc_n, bc_n, max(bc_n // 16, 256), seed=8)
     linalg.matmul_broadcast(spark, panels, b_local).map(
         lambda kv: float(kv[1].sum())
     ).sum()
