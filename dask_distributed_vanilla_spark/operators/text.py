@@ -868,7 +868,89 @@ def text_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+LOGREG_DIM = 64  # hashed token-feature buckets
+LOGREG_ITERS = 5
+LOGREG_LR = 0.5
+
+
+def text_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed training of a hashed-feature logistic quality
+    classifier: {iters} full-batch gradient steps where each step is ONE
+    aggregate pass over the corpus — the minimal honest version of
+    "fit a fastText-style quality gate on the cluster".
+
+    Features are hashed token frequencies (token → crc32 mod {dim},
+    normalized by doc length) kept SPARSE as (doc_id, bucket, value)
+    rows — the dense 64-vector never materializes per doc. The label is
+    a deterministic rule (stopword ratio > 0.15). Per step: the
+    weight vector (dim-sized, driver-held by design like every GLM
+    trainer's coefficients) broadcasts in, w·x is a bucket equi-join +
+    per-doc sum, and the gradient Σ x·(σ(w·x)−y) comes back as one
+    dim-sized aggregate. Corpus size touches only the per-step scan;
+    the driver holds 64 floats.
+
+    Rows-only judged (iterative float training is not SQL); pinned
+    against an independent numpy implementation of the identical
+    recurrence in pytest (same hash, same order-of-magnitude tolerance
+    — parallel sum order differs in the last ulp).
+    """
+    t = _with_words(load_table(spark, sf_dir, "documents"))
+    words = F.col("w")
+    n_tok = F.size(words)
+    stop_ratio = _count_in(words, STOPWORDS) / n_tok
+    base = t.select(
+        "doc_id",
+        "w",
+        (stop_ratio > 0.15).cast("double").alias("y"),
+        n_tok.cast("double").alias("n_tok"),
+    )
+    feats = (
+        base.select(
+            "doc_id", "y", "n_tok", F.explode("w").alias("tok")
+        )
+        .select(
+            "doc_id",
+            "y",
+            F.pmod(F.crc32(F.col("tok")), F.lit(LOGREG_DIM)).cast("int").alias("j"),
+            (1.0 / F.col("n_tok")).alias("x"),
+        )
+        .groupBy("doc_id", "y", "j")
+        .agg(F.sum("x").alias("x"))
+        .localCheckpoint()  # reused every iteration — scan the corpus once
+    )
+    n_docs = base.count()
+    w_vec = [0.0] * LOGREG_DIM
+    for _ in range(LOGREG_ITERS):
+        wdf = spark.createDataFrame(
+            list(enumerate(w_vec)), "j int, wj double"
+        )
+        margin = (
+            feats.join(F.broadcast(wdf), "j")
+            .groupBy("doc_id", "y")
+            .agg(F.sum(F.col("x") * F.col("wj")).alias("m"))
+        )
+        resid = margin.select(
+            "doc_id",
+            (1.0 / (1.0 + F.exp(-F.col("m"))) - F.col("y")).alias("r"),
+        )
+        grad_rows = (
+            feats.join(resid, "doc_id")
+            .groupBy("j")
+            .agg(F.sum(F.col("x") * F.col("r")).alias("g"))
+            .collect()
+        )
+        grad = {r["j"]: r["g"] for r in grad_rows}
+        w_vec = [
+            w_vec[j] - LOGREG_LR * grad.get(j, 0.0) / n_docs
+            for j in range(LOGREG_DIM)
+        ]
+    return spark.createDataFrame(
+        [(j, round(w_vec[j], 6)) for j in range(LOGREG_DIM)], "j int, weight double"
+    )
+
+
 QUERIES = {
+    "text_logreg_quality": text_logreg_quality,
     "text_compress_ratio": text_compress_ratio,
     "text_lang_confusion": text_lang_confusion,
     "bpe_merges": bpe_merges,
@@ -889,6 +971,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_logreg_quality": None,  # iterative float training: rows-only; numpy-pinned in pytest
     "text_compress_ratio": None,  # zlib not in SQL: rows-only; zlib-pinned in pytest
     "text_lang_confusion": _lang_confusion_sql(),
     "bpe_merges": None,  # greedy recurrence not SQL-expressible; Counter-pinned in pytest

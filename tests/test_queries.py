@@ -235,3 +235,44 @@ def test_text_compress_ratio_matches_zlib(spark):
         for r in raw.itertuples()
     }
     assert got == want
+
+
+def test_text_logreg_quality_matches_numpy(spark):
+    """The distributed GD recurrence must match an independent numpy
+    implementation of the identical steps (same crc32 hashing, same
+    label rule, same learning rate) to float tolerance — parallel sum
+    order is the only allowed difference."""
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    from dask_distributed_vanilla_spark.operators.text import (
+        LOGREG_DIM,
+        LOGREG_ITERS,
+        LOGREG_LR,
+        STOPWORDS,
+        text_logreg_quality,
+    )
+
+    got = np.array(
+        [
+            r["weight"]
+            for r in text_logreg_quality(spark, SF_SMOKE).orderBy("j").collect()
+        ]
+    )
+
+    raw = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[["doc_id", "text"]]
+    X = np.zeros((len(raw), LOGREG_DIM))
+    y = np.zeros(len(raw))
+    for i, text in enumerate(raw["text"]):
+        toks = text.split(" ")
+        n = len(toks)
+        y[i] = 1.0 if sum(t in STOPWORDS for t in toks) / n > 0.15 else 0.0
+        for t in toks:
+            X[i, zlib.crc32(t.encode()) % LOGREG_DIM] += 1.0 / n
+    w = np.zeros(LOGREG_DIM)
+    for _ in range(LOGREG_ITERS):
+        r = 1.0 / (1.0 + np.exp(-(X @ w))) - y
+        w = w - LOGREG_LR * (X.T @ r) / len(raw)
+    assert np.allclose(got, np.round(w, 6), atol=1e-5)
