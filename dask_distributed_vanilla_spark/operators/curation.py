@@ -623,7 +623,85 @@ ORDER BY s.src, s.other
 """
 
 
+def quality_token_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budget by quality decile: rank documents into NTILE(10)
+    quality deciles and report each decile's document count, token
+    total, and share of the corpus' tokens — the readout that prices a
+    quality gate ("cutting below decile 3 costs 12% of tokens") before
+    anyone commits to a threshold.
+
+    One scan scores quality and token counts, one decile window over
+    the doc-level table (never the token stream), one 10-row rollup
+    with the corpus total broadcast back as a 1-row cross join.
+    """
+    docs = _with_quality_tokens(spark, sf_dir)
+    w = Window.orderBy(F.col("quality").desc(), F.col("doc_id"))
+    by_dec = (
+        docs.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+    total = by_dec.agg(F.sum("n_tokens").cast("double").alias("tot"))
+    return (
+        by_dec.crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_docs",
+            "n_tokens",
+            round2(F.col("n_tokens") / F.col("tot")).alias("token_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+def _with_quality_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_distributed_vanilla_spark.operators.text import (
+        STOPWORDS as _SW,
+        _count_in,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    words = F.col("w")
+    n_tokens = F.size(words)
+    uniq_ratio = F.size(F.array_distinct(words)) / n_tokens
+    stop_ratio = _count_in(words, _SW) / n_tokens
+    score = (
+        0.4 * F.least(F.lit(1.0), n_tokens / F.lit(64.0))
+        + 0.3 * uniq_ratio
+        + 0.3 * stop_ratio
+    )
+    return t.select(
+        "doc_id", round2(score).alias("quality"), n_tokens.cast("long").alias("n_tokens")
+    )
+
+
+def _quality_token_mix_sql() -> str:
+    quality_expr = round2_sql(
+        "0.4 * least(1.0, len(w) / 64.0)"
+        " + 0.3 * (len(list_distinct(w)) * 1.0 / len(w))"
+        f" + 0.3 * ({_sql_count_in(STOPWORDS)} * 1.0 / len(w))"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+q AS (SELECT doc_id, {quality_expr} AS quality, len(w) AS n_tokens FROM t),
+d AS (SELECT doc_id, n_tokens,
+             NTILE(10) OVER (ORDER BY quality DESC, doc_id) AS decile
+      FROM q),
+g AS (SELECT decile, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM d GROUP BY 1)
+SELECT decile, n_docs, n_tokens,
+       {round2_sql("n_tokens * 1.0 / (SELECT SUM(n_tokens) FROM g)")} AS token_share
+FROM g ORDER BY decile
+"""
+
+
 QUERIES = {
+    "quality_token_mix": quality_token_mix,
     "source_overlap": source_overlap,
     "sample_weighted": sample_weighted,
     "sample_mixture": sample_mixture,
@@ -639,6 +717,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "quality_token_mix": _quality_token_mix_sql(),
     "source_overlap": SOURCE_OVERLAP_SQL,
     "sample_weighted": SAMPLE_WEIGHTED_SQL,
     "sample_mixture": SAMPLE_MIXTURE_SQL,

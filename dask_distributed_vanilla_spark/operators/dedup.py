@@ -280,6 +280,68 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-audit of the LSH workhorse against the exact baseline: pair
+    the verified MinHash-LSH near-dup set with the exact n-gram-Jaccard
+    set and report recall/precision — the measurement that justifies
+    running banded LSH instead of the quadratic join at scale (banding
+    theory promises high recall at the threshold; this query CHECKS it
+    on the corpus instead of assuming it).
+
+    Precision is 1.0 by construction (LSH candidates are exact-verified
+    before emission); recall < 1 exposes band/bucket misses. Cost is
+    the two operators it audits plus one pair-keyed full-outer join of
+    their (small) output sets.
+    """
+    exact = dedup_ngram_jaccard(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_exact")
+    )
+    lsh = dedup_minhash_lsh(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_lsh")
+    )
+    m = exact.join(lsh, ["doc_a", "doc_b"], "full_outer")
+    return m.agg(
+        F.sum("in_exact").cast("long").alias("n_exact"),
+        F.sum("in_lsh").cast("long").alias("n_lsh"),
+        F.sum(F.col("in_exact") * F.col("in_lsh")).cast("long").alias("n_both"),
+        round2(
+            F.sum(F.col("in_exact") * F.col("in_lsh")) / F.sum("in_exact")
+        ).alias("recall"),
+        round2(
+            F.sum(F.col("in_exact") * F.col("in_lsh")) / F.sum("in_lsh")
+        ).alias("precision"),
+    )
+
+
+def _lsh_audit_sql() -> str:
+    return f"""
+WITH {{chain}},
+ex0 AS ({_SHINGLE_SQL}),
+exkeep AS (SELECT sh FROM ex0 GROUP BY 1 HAVING COUNT(*) <= {DF_CAP}),
+exsh AS (SELECT s.doc_id, s.sh FROM ex0 s JOIN exkeep USING (sh)),
+excnt AS (SELECT doc_id, COUNT(*) AS n FROM exsh GROUP BY 1),
+expairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM exsh a JOIN exsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+exact AS (
+  SELECT doc_a, doc_b FROM expairs
+  JOIN excnt ca ON doc_a = ca.doc_id
+  JOIN excnt cb ON doc_b = cb.doc_id
+  WHERE n_common * 1.0 / (ca.n + cb.n - n_common) >= {JACCARD_THRESHOLD}),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+         (SELECT COUNT(*) FROM lsh_pairs) AS n_lsh,
+         (SELECT COUNT(*) FROM exact e
+          JOIN lsh_pairs l ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b) AS n_both)
+SELECT CAST(n_exact AS BIGINT) AS n_exact, CAST(n_lsh AS BIGINT) AS n_lsh,
+       CAST(n_both AS BIGINT) AS n_both,
+       {round2_sql("n_both * 1.0 / n_exact")} AS recall,
+       {round2_sql("n_both * 1.0 / n_lsh")} AS precision
+FROM stats
+""".replace("{chain}", _minhash_cte_chain())
+
+
 def _minhash_cte_chain() -> str:
     """The shared CTE chain ending in verified LSH near-dup pairs —
     reused by the pair oracle and the connected-components oracle."""
@@ -668,6 +730,7 @@ ORDER BY doc_id
 
 
 QUERIES = {
+    "dedup_lsh_audit": dedup_lsh_audit,
     "dedup_incremental": dedup_incremental,
     "dedup_incremental_near": dedup_incremental_near,
     "dedup_exact": dedup_exact,
@@ -678,6 +741,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_lsh_audit": _lsh_audit_sql(),
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "dedup_incremental_near": _incremental_near_sql(),
     "dedup_exact": DEDUP_EXACT_SQL,
