@@ -592,6 +592,47 @@ FROM reach GROUP BY 1 ORDER BY 1
 """
 
 
+def dedup_cluster_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication census: the distribution of near-dup cluster sizes —
+    how many singletons, pairs, triples, … the corpus holds, plus the
+    share of documents that are redundant (cluster size − 1 summed).
+    This is the one-page answer to "how duplicated is this corpus"
+    that decides whether dedup is worth a pipeline stage at all.
+
+    Consumes dedup_cc's labels (iterative CC) and reduces them twice:
+    label → size, size → count. Both aggregates are tiny relative to
+    the corpus; the cost is the CC it composes.
+    """
+    labels = dedup_cc(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size"))
+    return (
+        sizes.groupBy("size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum(F.col("size") - 1).cast("long").alias("n_redundant_docs"),
+        )
+        .orderBy("size")
+    )
+
+
+def _cluster_hist_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_cte_chain()},
+edges AS (SELECT doc_a AS a, doc_b AS b FROM lsh_pairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM lsh_pairs),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b),
+labels AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY 1),
+sizes AS (SELECT cluster_id, COUNT(*) AS size FROM labels GROUP BY 1)
+SELECT size, COUNT(*) AS n_clusters,
+       CAST(SUM(size - 1) AS BIGINT) AS n_redundant_docs
+FROM sizes GROUP BY size ORDER BY size
+"""
+
+
 # --- incremental (delta-vs-corpus) dedup --------------------------------
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest dedup: drop new-batch docs whose exact content
@@ -730,6 +771,7 @@ ORDER BY doc_id
 
 
 QUERIES = {
+    "dedup_cluster_hist": dedup_cluster_hist,
     "dedup_lsh_audit": dedup_lsh_audit,
     "dedup_incremental": dedup_incremental,
     "dedup_incremental_near": dedup_incremental_near,
@@ -741,6 +783,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_cluster_hist": _cluster_hist_sql(),
     "dedup_lsh_audit": _lsh_audit_sql(),
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "dedup_incremental_near": _incremental_near_sql(),
