@@ -272,6 +272,73 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def er_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-recall audit: how many of the complete d≤1 match pairs
+    (FastSS, no blocking, no recall loss) does the (nation, segment)
+    blocking key actually retain? Blocking is a recall-for-cost trade —
+    this query prices the trade on the corpus instead of assuming it,
+    the ER twin of dedup_lsh_audit.
+
+    Both pair sets are match-sized; the audit is one pair-keyed join +
+    a 1-row aggregate on top of the two generators it measures.
+    """
+    full = _fastss_pairs(spark, sf_dir).select(
+        "left_key", "right_key", F.lit(1).alias("in_full")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_name"
+    )
+    a = c.repartition(F.col("c_nationkey"), F.col("c_mktsegment")).alias("a")
+    b = c.alias("b")
+    blocked = (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .where(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1)
+        .select(
+            F.col("a.c_custkey").alias("left_key"),
+            F.col("b.c_custkey").alias("right_key"),
+            F.lit(1).alias("in_blocked"),
+        )
+    )
+    m = full.join(blocked, ["left_key", "right_key"], "full_outer")
+    from dask_distributed_vanilla_spark.functions.rounding import round2
+
+    return m.agg(
+        F.sum("in_full").cast("long").alias("n_full"),
+        F.sum("in_blocked").cast("long").alias("n_blocked"),
+        round2(F.sum(F.col("in_full") * F.col("in_blocked")) / F.sum("in_full")).alias(
+            "blocking_recall"
+        ),
+    )
+
+
+ER_BLOCKING_AUDIT_SQL = """
+WITH full_pairs AS (
+  SELECT a.c_custkey AS left_key, b.c_custkey AS right_key
+  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+blocked AS (
+  SELECT a.c_custkey AS left_key, b.c_custkey AS right_key
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.c_mktsegment = b.c_mktsegment
+   AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM full_pairs) AS n_full,
+         (SELECT COUNT(*) FROM blocked) AS n_blocked,
+         (SELECT COUNT(*) FROM full_pairs f
+          JOIN blocked k ON f.left_key = k.left_key AND f.right_key = k.right_key) AS n_both)
+SELECT CAST(n_full AS BIGINT) AS n_full, CAST(n_blocked AS BIGINT) AS n_blocked,
+       FLOOR(n_both * 1.0 / n_full * 100 + 0.5) / 100 AS blocking_recall
+FROM stats
+"""
+
+
 ER_GOLDEN_RECORD_SQL = """
 WITH RECURSIVE pairs AS (
   SELECT a.c_custkey AS pa, b.c_custkey AS pb
@@ -305,11 +372,13 @@ ORDER BY 1, 2 LIMIT 1000
 
 
 QUERIES = {
+    "er_blocking_audit": er_blocking_audit,
     "er_golden_record": er_golden_record,
     "er_blocking": er_blocking,
     "er_match_pairs": er_match_pairs,
 }
 ORACLES = {
+    "er_blocking_audit": ER_BLOCKING_AUDIT_SQL,
     "er_golden_record": ER_GOLDEN_RECORD_SQL,
     "er_blocking": ER_BLOCKING_SQL,
     "er_match_pairs": ER_MATCH_PAIRS_SQL,
