@@ -572,7 +572,71 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def stream_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged query: CHAINED stateful aggregations in one streaming
+    query — hourly tumbling counts per event type, re-aggregated into
+    daily totals downstream of the first stateful operator. Two state
+    stores in one pipeline: the hourly window closes under the
+    watermark and its emission feeds the daily window via
+    `window_time()` (the event-time column of a finished window), the
+    pre-aggregation pattern that keeps a day of state at hour
+    granularity instead of buffering raw events all day. Append mode —
+    a daily row emits only when the watermark proves its hours final.
+    """
+    sink = f"stream_2l_{uuid.uuid4().hex[:8]}"
+    with _stream_shuffle(spark, 4):
+        hourly = (
+            events_stream(spark, sf_dir)
+            .withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("hw"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        )
+        daily = (
+            hourly.groupBy(
+                F.window(F.window_time("hw"), "1 day").alias("dw"), "event_type"
+            )
+            .agg(
+                F.sum("n").alias("n"),
+                F.round(F.sum("sv"), 2).alias("sv"),
+                F.count(F.lit(1)).alias("n_hours"),
+            )
+            .select(
+                "event_type", F.col("dw.start").alias("day"), "n", "sv", "n_hours"
+            )
+        )
+        q = (
+            daily.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # append mode withholds the final (unclosed) day per type; compare
+    # the closed-day region — identical cutoff logic on both engines
+    return (
+        spark.table(sink)
+        .where(F.col("day") < F.lit(OUTER_JOIN_CUTOFF).cast("timestamp"))
+        .orderBy("event_type", "day")
+    )
+
+
+STREAM_TWO_LEVEL_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         COUNT(*) AS n, SUM(value) AS sv
+  FROM events GROUP BY 1, 2)
+SELECT event_type, date_trunc('day', h) AS day,
+       CAST(SUM(n) AS BIGINT) AS n, ROUND(SUM(sv), 2) AS sv,
+       COUNT(*) AS n_hours
+FROM hourly
+WHERE date_trunc('day', h) < TIMESTAMP '{OUTER_JOIN_CUTOFF}'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
+    "stream_two_level": stream_two_level,
     "stream_outer_join": stream_outer_join,
     "stream_enrich": stream_enrich,
     "stream_e1": stream_e1,
@@ -585,6 +649,7 @@ QUERIES = {
     "stream_incremental_mv": stream_incremental_mv,
 }
 ORACLES = {
+    "stream_two_level": STREAM_TWO_LEVEL_SQL,
     "stream_outer_join": STREAM_OUTER_JOIN_SQL,
     "stream_incremental_mv": STREAM_INCREMENTAL_MV_SQL,
     "stream_approx_distinct": None,  # HLL estimate: rows-only; bound-tested in pytest
