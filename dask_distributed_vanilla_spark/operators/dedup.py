@@ -633,6 +633,61 @@ FROM sizes GROUP BY size ORDER BY size
 """
 
 
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-containment pairs: |A∩B| / |A| ≥ {thr} — doc A's
+    shingles mostly inside doc B. Jaccard misses exactly this case (a
+    short quote fully embedded in a long article has tiny Jaccard but
+    containment ≈ 1), and quote-expansion/boilerplate-wrapping is a
+    dominant duplication mode in web corpora.
+
+    Same inverted-index machinery and DF_CAP bound as the Jaccard
+    baseline; the only change is the asymmetric denominator, and each
+    unordered pair is emitted once per direction that crosses the
+    threshold (direction matters: contained ≠ containing).
+    """
+    sh = _shingle_table(spark, sf_dir, materialize=True)
+    df_tbl = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    kept = df_tbl.where(F.col("df") <= DF_CAP)
+    sh = sh.join(kept.select("sh"), "sh", "left_semi")
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    shared = kept.where(F.col("df") > 1).select("sh")
+    sh = sh.join(shared, "sh", "left_semi")
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cont = F.col("n_common") / F.col("n_a")
+    return (
+        common.join(ca, "doc_a")
+        .where(cont >= CONTAINMENT_THRESHOLD)
+        .select("doc_a", "doc_b", round2(cont).alias("containment"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_CONTAINMENT_SQL = f"""
+WITH sh0 AS ({_SHINGLE_SQL}),
+keep AS (SELECT sh FROM sh0 GROUP BY 1 HAVING COUNT(*) <= {DF_CAP}),
+sh AS (SELECT s.doc_id, s.sh FROM sh0 s JOIN keep USING (sh)),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       {round2_sql("n_common * 1.0 / ca.n")} AS containment
+FROM pairs JOIN cnt ca ON doc_a = ca.doc_id
+WHERE n_common * 1.0 / ca.n >= {CONTAINMENT_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
 # --- incremental (delta-vs-corpus) dedup --------------------------------
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest dedup: drop new-batch docs whose exact content
@@ -771,6 +826,7 @@ ORDER BY doc_id
 
 
 QUERIES = {
+    "dedup_containment": dedup_containment,
     "dedup_cluster_hist": dedup_cluster_hist,
     "dedup_lsh_audit": dedup_lsh_audit,
     "dedup_incremental": dedup_incremental,
@@ -783,6 +839,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_containment": DEDUP_CONTAINMENT_SQL,
     "dedup_cluster_hist": _cluster_hist_sql(),
     "dedup_lsh_audit": _lsh_audit_sql(),
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,

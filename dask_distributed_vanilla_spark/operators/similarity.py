@@ -877,7 +877,60 @@ FROM ranked WHERE rank <= {OUTLIER_K} ORDER BY label, rank
 """
 
 
+def emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: per-label centroid shift between the
+    first and second half of the corpus (vec_id parity as the epoch
+    proxy) — the encoder-health check that pages when a re-embedding
+    run or upstream distribution change moves a class's centroid
+    (dq_drift's KL monitor for scalars, done for vectors).
+
+    All relational: one posexplode, (half, label, dim) partial means,
+    self-join of the two halves' centroids on (label, dim), per-label
+    L2 of the difference — shuffle width is |labels|·dim·2 regardless
+    of corpus size.
+    """
+    from dask_distributed_vanilla_spark.functions.rounding import round2
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        (F.col("vec_id") % 2).alias("half"),
+        "label",
+        F.posexplode("embedding").alias("pos", "x"),
+    )
+    cent = ex.groupBy("half", "label", "pos").agg(F.avg("x").alias("cv"))
+    a = cent.where(F.col("half") == 0).select("label", "pos", F.col("cv").alias("ca"))
+    b = cent.where(F.col("half") == 1).select("label", "pos", F.col("cv").alias("cb"))
+    return (
+        a.join(b, ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            F.sqrt(F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))))
+            .alias("shift")
+        )
+        .select("label", round2(F.col("shift") * 100).alias("shift_x100"))
+        .orderBy("label")
+    )
+
+
+def _emb_drift_sql() -> str:
+    from dask_distributed_vanilla_spark.functions.rounding import round2_sql
+
+    return f"""
+WITH e AS (SELECT vec_id % 2 AS half, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+ex AS (SELECT half, label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
+cent AS (SELECT half, label, pos, AVG(x) AS cv FROM ex GROUP BY 1, 2, 3),
+j AS (
+  SELECT a.label, a.pos, a.cv AS ca, b.cv AS cb
+  FROM cent a JOIN cent b
+    ON a.label = b.label AND a.pos = b.pos AND a.half = 0 AND b.half = 1)
+SELECT label, {round2_sql("sqrt(SUM((ca - cb) * (ca - cb))) * 100")} AS shift_x100
+FROM j GROUP BY label ORDER BY label
+"""
+
+
 QUERIES = {
+    "emb_drift": emb_drift,
     "emb_outliers": emb_outliers,
     "emb_pca": emb_pca,
     "ann_hybrid_rrf": ann_hybrid_rrf,
@@ -890,6 +943,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "emb_drift": _emb_drift_sql(),
     "emb_outliers": _emb_outliers_sql(),
     "emb_pca": None,  # no SQL eigensolver: rows-only; numpy-pinned in pytest
     "ann_hybrid_rrf": _hybrid_rrf_sql(),
