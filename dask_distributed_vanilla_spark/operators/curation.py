@@ -644,7 +644,9 @@ def quality_token_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("n_tokens"),
         )
     )
-    total = by_dec.agg(F.sum("n_tokens").cast("double").alias("tot"))
+    # the corpus total is decile-independent: derive it from the doc
+    # table directly so the NTILE subtree is not evaluated twice
+    total = docs.agg(F.sum("n_tokens").cast("double").alias("tot"))
     return (
         by_dec.crossJoin(F.broadcast(total))
         .select(

@@ -542,3 +542,33 @@ def test_text_normalize_no_shuffle_single_scan(spark):
     plan = formatted_plan(text_normalize(spark, SF_SMOKE))
     assert plan.count("Location: InMemoryFileIndex") == 1
     assert "Join" not in plan
+
+
+def test_emb_drift_no_cartesian_and_narrow_shuffle(spark):
+    """The drift monitor's centroid self-join is an equi-join on
+    (label, pos) — never a pair loop — and the embedding scan reads
+    only the referenced columns."""
+    from dask_distributed_vanilla_spark.operators.similarity import emb_drift
+
+    plan = formatted_plan(emb_drift(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_token_mix_decile_over_doc_table(spark):
+    """The NTILE window runs over the doc-level table (one row per
+    doc), not the token stream: exactly one Window node."""
+    from dask_distributed_vanilla_spark.operators.curation import quality_token_mix
+
+    plan = formatted_plan(quality_token_mix(spark, SF_SMOKE))
+    assert plan.count("Window (") == 1
+
+
+def test_two_level_stream_sink_rollup_is_trivial(spark):
+    """stream_two_level's returned frame reads the (tiny) daily sink —
+    the heavy lifting (two chained state stores) ran inside the
+    streaming query; the post-plan must be scan+filter+sort only."""
+    from dask_distributed_vanilla_spark.streaming.events_stream import stream_two_level
+
+    plan = formatted_plan(stream_two_level(spark, SF_SMOKE))
+    assert "Join" not in plan
