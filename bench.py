@@ -24,13 +24,13 @@ from dask_distributed_vanilla_spark.session import get_spark
 
 
 # Suite-total drift budget at the driver's sf0.1 / local[32] config:
-# round 3 measured 132.8s over the 144-query suite on an idle box
-# (median-of-reps); the session's six later additions put the expected
-# 150-query total near 145s. Co-running workloads inflate the total,
-# so the budget keeps ~30% headroom for a loaded driver host.
-# Exceeding it flags a regression in the output instead of relying on
-# a human diff.
-SUITE_BUDGET_SEC = 190.0
+# round 3 final measured 168.2s over the 163-query suite on an idle
+# box (median-of-reps; the ER/dedup audit queries each re-run the two
+# operators they measure, ~4-6s apiece). Co-running workloads inflate
+# the total, so the budget keeps ~25% headroom for a loaded driver
+# host. Exceeding it flags a regression in the output instead of
+# relying on a human diff.
+SUITE_BUDGET_SEC = 210.0
 SUBSEC_REPS = 5
 
 
