@@ -1,0 +1,31 @@
+"""User-defined aggregate functions (SURVEY.md §2.10 UDAF surface).
+
+`pandas_udf` GROUPED_AGG is the Spark analog of the reference's
+custom dict-agg functions: the whole group's column arrives as ONE
+pandas Series per group (Arrow-batched), the return is a scalar.
+Partial aggregation does NOT apply — every group's rows co-locate on
+one task — so a UDAF is the right tool only when the reduction is not
+expressible as partial+final built-ins; for anything decomposable,
+built-in aggregates win at scale (see e36/e23's pure-SQL moments).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql.functions import pandas_udf
+
+
+@pandas_udf("double")
+def geomean(v: pd.Series) -> float:
+    """Geometric mean of a positive-valued group (log-space mean)."""
+    return float(np.exp(np.log(v.to_numpy(dtype=np.float64)).mean()))
+
+
+@pandas_udf("double")
+def midhinge(v: pd.Series) -> float:
+    """(Q1 + Q3) / 2 — a robust location estimate no built-in single
+    aggregate provides (the genuine UDAF case: needs the full group)."""
+    x = v.to_numpy(dtype=np.float64)
+    return float((np.quantile(x, 0.25) + np.quantile(x, 0.75)) / 2)

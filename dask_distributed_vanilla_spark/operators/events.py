@@ -1512,7 +1512,35 @@ GROUP BY user_id HAVING COUNT(*) >= 20 ORDER BY user_id
 """
 
 
+def e40_midhinge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type midhinge (Q1+Q3)/2 via a GROUPED_AGG pandas UDAF — the
+    judged exercise of the custom-aggregate surface (SURVEY §2.10): the
+    whole group arrives as one Arrow-batched Series, the reduction is
+    numpy, and the result hash-matches DuckDB's quantile_cont because
+    both use linear interpolation. UDAFs skip partial aggregation
+    (groups co-locate wholesale), so this is the right tool only for
+    non-decomposable reductions — the docstring in functions/udafs.py
+    carries that scale warning.
+    """
+    from dask_distributed_vanilla_spark.functions.udafs import midhinge
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg((F.floor(midhinge("value") * 100 + F.lit(0.5)) / 100).alias("midhinge"))
+        .orderBy("event_type")
+    )
+
+
+E40_SQL = """
+SELECT event_type,
+       FLOOR((quantile_cont(value, 0.25) + quantile_cont(value, 0.75)) / 2 * 100 + 0.5) / 100 AS midhinge
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "e40_midhinge": e40_midhinge,
     "e39_autocorr": e39_autocorr,
     "e37_cusum": e37_cusum,
     "e36_mad": e36_mad,
@@ -1553,6 +1581,7 @@ QUERIES = {
     "e15_range_window": e15_range_window,
 }
 ORACLES = {
+    "e40_midhinge": E40_SQL,
     "e39_autocorr": E39_SQL,
     "e37_cusum": E37_SQL,
     "e36_mad": E36_SQL,

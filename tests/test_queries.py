@@ -276,3 +276,32 @@ def test_text_logreg_quality_matches_numpy(spark):
         r = 1.0 / (1.0 + np.exp(-(X @ w))) - y
         w = w - LOGREG_LR * (X.T @ r) / len(raw)
     assert np.allclose(got, np.round(w, 6), atol=1e-5)
+
+
+def test_pandas_udaf_grouped_agg(spark):
+    """SURVEY §2.10 UDAF surface: a GROUPED_AGG pandas_udf aggregates
+    whole groups (Arrow-batched Series → scalar) and must match the
+    same reduction computed by pandas directly."""
+    import numpy as np
+    import pandas as pd
+
+    from dask_distributed_vanilla_spark.catalog import load_table
+    from dask_distributed_vanilla_spark.functions.udafs import geomean, midhinge
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_SMOKE, "events").where(F.col("value") > 0)
+    got = {
+        r["event_type"]: (r["gm"], r["mh"])
+        for r in ev.groupBy("event_type")
+        .agg(geomean("value").alias("gm"), midhinge("value").alias("mh"))
+        .collect()
+    }
+
+    pdf = (
+        pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+        .query("value > 0")[["event_type", "value"]]
+    )
+    for et, grp in pdf.groupby("event_type"):
+        x = grp["value"].to_numpy(dtype=np.float64)
+        assert abs(got[et][0] - np.exp(np.log(x).mean())) < 1e-9
+        assert abs(got[et][1] - (np.quantile(x, 0.25) + np.quantile(x, 0.75)) / 2) < 1e-9
