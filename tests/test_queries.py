@@ -305,3 +305,44 @@ def test_pandas_udaf_grouped_agg(spark):
         x = grp["value"].to_numpy(dtype=np.float64)
         assert abs(got[et][0] - np.exp(np.log(x).mean())) < 1e-9
         assert abs(got[et][1] - (np.quantile(x, 0.25) + np.quantile(x, 0.75)) / 2) < 1e-9
+
+
+def test_map_in_arrow_digest_matches_pandas_path(spark):
+    """mapInArrow — the Arrow-native per-batch API (no pandas
+    materialization) — must produce identical per-asset digests to the
+    mapInPandas path: same batches, same bytes, less copying. This is
+    the hot-path variant for payload-heavy multimodal scans."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from dask_distributed_vanilla_spark.catalog import load_table
+    from dask_distributed_vanilla_spark.operators.multimodal import with_payload
+    from pyspark.sql import functions as F
+
+    docs = with_payload(load_table(spark, SF_SMOKE, "documents")).select(
+        "doc_id", "payload"
+    )
+
+    def digest_batches(batches):
+        for batch in batches:
+            ids = batch.column("doc_id")
+            payloads = batch.column("payload")
+            digests = [
+                hashlib.md5(p.as_py()).hexdigest() for p in payloads
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(digests, pa.string())], ["doc_id", "digest"]
+            )
+
+    arrow_out = {
+        r["doc_id"]: r["digest"]
+        for r in docs.mapInArrow(
+            digest_batches, schema="doc_id long, digest string"
+        ).collect()
+    }
+    jvm_out = {
+        r["doc_id"]: r["digest"]
+        for r in docs.select("doc_id", F.md5("payload").alias("digest")).collect()
+    }
+    assert arrow_out == jvm_out
