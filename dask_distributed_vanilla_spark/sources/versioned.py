@@ -236,6 +236,44 @@ def compact(spark: SparkSession, path: str) -> int:
     return _commit(path, adds, files)
 
 
+def compact_zordered(
+    spark: SparkSession,
+    path: str,
+    sort_cols: list[str],
+    n_files: int,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """OPTIMIZE + re-cluster in one commit: rewrite the live snapshot
+    range-partitioned and sorted on `sort_cols` into `n_files` files,
+    swap them atomically, and (optionally) record per-file stats for
+    the new layout — Delta's `OPTIMIZE ... ZORDER BY` shape. After
+    this, `read_pruned` on a sort column skips most files because each
+    file covers a tight value range; old versions remain readable
+    (layout changes, history never does)."""
+    old_files = snapshot_files(path)
+    df = read_versioned(spark, path)
+    staging = os.path.join(path, f"_staging_{uuid.uuid4().hex}")
+    (
+        df.repartitionByRange(n_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    adds = []
+    stats: dict = {}
+    for name in sorted(os.listdir(staging)):
+        if name.endswith(".parquet"):
+            final = f"part-{uuid.uuid4().hex}.parquet"
+            os.rename(os.path.join(staging, name), os.path.join(path, final))
+            adds.append(final)
+            if stats_cols:
+                stats[final] = _file_stats(os.path.join(path, final), stats_cols)
+    for leftover in os.listdir(staging):
+        os.remove(os.path.join(staging, leftover))
+    os.rmdir(staging)
+    return _commit(path, adds, old_files, stats=stats or None)
+
+
 def read_appended(
     spark: SparkSession, path: str, since_version: int
 ) -> DataFrame:

@@ -368,3 +368,37 @@ def test_versioned_table_file_skipping(spark, tmp_path):
     assert len(files2) == 2 and skipped2 == 3  # unknown file kept
     got2 = sorted(r["id"] for r in read_pruned(spark, p, "id", 150, 160).collect())
     assert got2 == list(range(150, 161))  # exact predicate still applied
+
+
+def test_compact_zordered_enables_file_skipping(spark, tmp_path):
+    """OPTIMIZE + re-cluster: appends land ids interleaved (every file
+    covers the whole range, nothing can skip); one compact_zordered
+    commit re-sorts the snapshot into range-disjoint files, after
+    which the same range read skips most files via the recorded stats
+    — and time travel still sees the pre-compaction rows."""
+    from dask_distributed_vanilla_spark.sources.versioned import (
+        compact_zordered,
+        read_pruned,
+        read_versioned,
+        snapshot_files_pruned,
+        write_append,
+    )
+
+    p = str(tmp_path / "optimize")
+    # interleaved appends: id % 4 == k per commit -> every file spans [0,400)
+    for k in range(4):
+        ids = spark.range(0, 400).where(f"id % 4 = {k}").coalesce(1).toDF("id")
+        write_append(ids, p, stats_cols=["id"])
+
+    _, skipped_before = snapshot_files_pruned(p, "id", 10, 20)
+    assert skipped_before == 0  # interleaved layout: nothing skippable
+
+    v = compact_zordered(spark, p, ["id"], n_files=4, stats_cols=["id"])
+    files_after, skipped_after = snapshot_files_pruned(p, "id", 10, 20)
+    assert skipped_after >= 2  # tight ranges: most files provably dead
+    assert len(files_after) + skipped_after == 4
+
+    got = sorted(r["id"] for r in read_pruned(spark, p, "id", 10, 20).collect())
+    assert got == list(range(10, 21))
+    assert read_versioned(spark, p).count() == 400
+    assert read_versioned(spark, p, version=v - 1).count() == 400  # history intact
