@@ -102,3 +102,54 @@ class DbgenTblDataSource(DataSource):
 
     def reader(self, schema) -> DbgenTblReader:
         return DbgenTblReader(self.options["table"], self.options["path"])
+
+
+# --- streaming Python DataSource ----------------------------------------
+try:  # Spark ≥ 4.0 simple streaming reader API
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    HAVE_STREAM_DATASOURCE_API = True
+except ImportError:  # pragma: no cover
+    HAVE_STREAM_DATASOURCE_API = False
+
+    class SimpleDataSourceStreamReader:  # type: ignore[no-redef]
+        pass
+
+
+class CounterStreamReader(SimpleDataSourceStreamReader):
+    """Deterministic micro-batch source: each batch emits the next
+    `rows_per_batch` integers. Offsets are plain dicts the engine
+    checkpoints — restart resumes exactly where the last committed
+    offset left off, which is what makes a custom Python source
+    exactly-once capable."""
+
+    def __init__(self, options) -> None:
+        self.rows = int(options.get("rows_per_batch", "10"))
+
+    def initialOffset(self):
+        return {"next": 0}
+
+    def read(self, start):
+        lo = start["next"]
+        rows = [(i,) for i in range(lo, lo + self.rows)]
+        return iter(rows), {"next": lo + self.rows}
+
+    def readBetweenOffsets(self, start, end):
+        return iter([(i,) for i in range(start["next"], end["next"])])
+
+
+class CounterStreamDataSource(DataSource):
+    """``readStream.format("pycounter")`` — a user-defined STREAMING
+    Python DataSource (the ingest-extensibility contract: any Python
+    client library becomes a Structured Streaming source with
+    checkpointed offsets; rows cross to the JVM via Arrow)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pycounter"
+
+    def schema(self):
+        return "id long"
+
+    def simpleStreamReader(self, schema):
+        return CounterStreamReader(self.options)

@@ -464,3 +464,55 @@ def test_frame_describe(spark):
     f = fr.Frame(load_table(spark, SF_SMOKE, "nation"))
     d = f.describe()
     assert "summary" in d.columns and len(d) == 5
+
+
+def test_python_streaming_datasource_offsets(spark, tmp_path):
+    """A user-defined STREAMING Python DataSource: checkpointed dict
+    offsets drive exactly-once batches, and a restart from the same
+    checkpoint resumes at the committed offset instead of re-emitting."""
+    import time
+
+    from dask_distributed_vanilla_spark.sources.pyds import (
+        HAVE_STREAM_DATASOURCE_API,
+        CounterStreamDataSource,
+    )
+
+    if not HAVE_STREAM_DATASOURCE_API:
+        import pytest
+
+        pytest.skip("streaming DataSource API absent on this build")
+
+    spark.dataSource.register(CounterStreamDataSource)
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_batches(n_batches):
+        q = (
+            spark.readStream.format("pycounter")
+            .option("rows_per_batch", "5")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p and p["batchId"] >= n_batches:
+                break
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination()
+
+    run_batches(3)
+    n1 = spark.read.parquet(sink).count()
+    assert n1 >= 15  # ≥3 committed batches of 5
+    ids = sorted(r["id"] for r in spark.read.parquet(sink).collect())
+    assert ids == list(range(len(ids)))  # contiguous, no gaps/dupes
+
+    run_batches(2)  # restart from the same checkpoint
+    ids2 = sorted(r["id"] for r in spark.read.parquet(sink).collect())
+    assert ids2 == list(range(len(ids2)))  # resumed, still exactly-once
+    assert len(ids2) > len(ids)
