@@ -140,3 +140,61 @@ def sessionize_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# --- transformWithState (Spark 4 arbitrary-state API) -------------------
+# The API surface exists in this build, but its Python worker protocol
+# requires google.protobuf, which this container does not ship — so the
+# processor below is the real program for the new API, exercised by a
+# test that SKIPS unless protobuf is importable (the documented gate;
+# on any standard cluster image it runs).
+try:
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    HAVE_TWS = True
+except ImportError:  # pragma: no cover - older builds
+    HAVE_TWS = False
+
+    class StatefulProcessor:  # type: ignore[no-redef]
+        pass
+
+try:
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    HAVE_TWS_RUNTIME = HAVE_TWS
+except ImportError:
+    HAVE_TWS_RUNTIME = False
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """Per-user lifetime totals in a ValueState — the minimal honest
+    program on the NEW arbitrary-state API (transformWithState, the
+    successor to applyInPandasWithState: typed state handles, explicit
+    init/close lifecycle, composable value/list/map state).
+
+    Money accumulates in integer CENTS: the fixture's values carry two
+    decimals, so round(value·100) is exact and the running sum is
+    integer arithmetic — bit-identical on every engine, no float-sum
+    ordering to worry about.
+    """
+
+    def init(self, handle) -> None:
+        self._totals = handle.getValueState("totals", "cnt LONG, cents LONG")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import numpy as np
+
+        if self._totals.exists():
+            cnt, cents = self._totals.get()
+        else:
+            cnt, cents = 0, 0
+        for pdf in rows:
+            cnt += len(pdf)
+            cents += int(np.rint(pdf["value"].to_numpy() * 100).astype("int64").sum())
+        self._totals.update((cnt, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [cnt], "sv": [cents / 100.0]}
+        )
+
+    def close(self) -> None:
+        pass

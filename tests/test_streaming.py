@@ -308,3 +308,77 @@ def test_watermark_bounds_join_state(spark, tmp_path):
     # the stream spans ~30 days; a 2h watermark + 1h interval keeps only
     # a sliver of it alive at once — far below retain-everything
     assert peak_state < joined_type_rows / 2
+
+
+def test_transform_with_state_totals(spark):
+    """Spark 4's transformWithState arbitrary-state API (typed
+    ValueState + init/close lifecycle): per-user lifetime totals with
+    money in integer cents must equal the batch GROUP BY. The worker
+    protocol needs google.protobuf, absent from this container — the
+    test gates on the documented runtime flag and runs on any standard
+    cluster image."""
+    import pytest
+
+    from dask_distributed_vanilla_spark.streaming.stateful import (
+        HAVE_TWS_RUNTIME,
+        RunningTotalsProcessor,
+    )
+
+    if not HAVE_TWS_RUNTIME:
+        pytest.skip("transformWithState worker needs google.protobuf (absent here)")
+
+    import uuid
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from dask_distributed_vanilla_spark.streaming.events_stream import (
+        _stream_shuffle,
+        events_stream,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sv", DoubleType()),
+        ]
+    )
+    sink = f"tws_{uuid.uuid4().hex[:8]}"
+    with _stream_shuffle(spark, 4):
+        q = (
+            events_stream(spark, SF_SMOKE)
+            .select("user_id", "value")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                RunningTotalsProcessor(),
+                outputStructType=out_schema,
+                outputMode="Update",
+                timeMode="None",
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    got = {
+        r["user_id"]: (r["n_events"], r["sv"])
+        for r in spark.table(sink)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("sv").alias("sv"))
+        .collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["sv"])
+        for r in spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100
+            ).alias("sv"),
+        )
+        .collect()
+    }
+    assert got == want
