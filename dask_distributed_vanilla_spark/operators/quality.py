@@ -369,7 +369,81 @@ ORDER BY c.event_type, c.digit
 """
 
 
+KS_SPLIT = "2024-01-16 00:00:00"  # epoch boundary: first vs second half
+
+
+def dq_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic per event type
+    between the two halves of the month — the distribution-shift test
+    that needs no binning choice (dq_drift's KL needs bins; KS is the
+    exact complement: D = max |F₁(x) − F₂(x)| over observed values).
+
+    Shape: ties collapse first ((type, value) → per-side counts), then
+    ONE ordered window per type computes both running CDFs and their
+    gap in a single pass — counts are integers, so the CDF ratios and
+    D are identical doubles on any engine. Work after the collapse is
+    |distinct values|, not |rows|.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    side = (F.col("ts") < F.lit(KS_SPLIT).cast("timestamp")).cast("int")
+    cell = (
+        ev.select("event_type", "value", side.alias("in_a"))
+        .groupBy("event_type", "value")
+        .agg(
+            F.sum("in_a").alias("ca"),
+            F.sum(1 - F.col("in_a")).alias("cb"),
+        )
+    )
+    wt = Window.partitionBy("event_type")
+    wrun = Window.partitionBy("event_type").orderBy("value")
+    gap = F.abs(
+        F.sum("ca").over(wrun) / F.sum("ca").over(wt)
+        - F.sum("cb").over(wrun) / F.sum("cb").over(wt)
+    )
+    return (
+        cell.select(
+            "event_type",
+            F.sum("ca").over(wt).alias("n_a"),
+            F.sum("cb").over(wt).alias("n_b"),
+            gap.alias("gap"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min("n_a").cast("long").alias("n_first_half"),
+            F.min("n_b").cast("long").alias("n_second_half"),
+            (F.floor(F.max("gap") * 10000 + F.lit(0.5)) / 10000).alias("ks_d"),
+        )
+        .orderBy("event_type")
+    )
+
+
+DQ_KS_SQL = f"""
+WITH cell AS (
+  SELECT event_type, value,
+         SUM(CASE WHEN ts < TIMESTAMP '{KS_SPLIT}' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN ts < TIMESTAMP '{KS_SPLIT}' THEN 0 ELSE 1 END) AS cb
+  FROM events GROUP BY 1, 2),
+run AS (
+  SELECT event_type,
+         SUM(ca) OVER (PARTITION BY event_type) AS n_a,
+         SUM(cb) OVER (PARTITION BY event_type) AS n_b,
+         ABS(SUM(ca) OVER (PARTITION BY event_type ORDER BY value) * 1.0
+               / SUM(ca) OVER (PARTITION BY event_type)
+             - SUM(cb) OVER (PARTITION BY event_type ORDER BY value) * 1.0
+               / SUM(cb) OVER (PARTITION BY event_type)) AS gap
+  FROM cell)
+SELECT event_type,
+       CAST(MIN(n_a) AS BIGINT) AS n_first_half,
+       CAST(MIN(n_b) AS BIGINT) AS n_second_half,
+       FLOOR(MAX(gap) * 10000 + 0.5) / 10000 AS ks_d
+FROM run GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "dq_ks": dq_ks,
     "dq_benford": dq_benford,
     "dq_audit": dq_audit,
     "dq_profile": dq_profile,
@@ -377,6 +451,7 @@ QUERIES = {
     "dq_drift": dq_drift,
 }
 ORACLES = {
+    "dq_ks": DQ_KS_SQL,
     "dq_benford": DQ_BENFORD_SQL,
     "dq_audit": DQ_AUDIT_SQL,
     "dq_profile": DQ_PROFILE_SQL,
