@@ -1539,7 +1539,92 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def e41_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney rank-sum A/B test on value per event type (arms =
+    user_id parity, matching e35): the nonparametric twin of e35's
+    proportions z — it detects a shifted value DISTRIBUTION without
+    assuming normality, the robust readout when the metric is skewed
+    (latency, revenue).
+
+    No per-row ranking: ties collapse to (type, value) cells with
+    per-arm counts, and the tie-averaged rank of a cell is
+    cum_before + (n+1)/2 — one ordered window over the CELL table
+    (|distinct values| rows, not |rows|). U and the normal-approx z
+    are exact integer-ratio arithmetic until the final rounding, so
+    both engines agree bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    cell = (
+        ev.select(
+            "event_type",
+            "value",
+            (F.col("user_id") % 2).cast("int").alias("arm"),
+        )
+        .groupBy("event_type", "value")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("na"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("nb"),
+        )
+    )
+    wrun = Window.partitionBy("event_type").orderBy("value")
+    wt = Window.partitionBy("event_type")
+    n_cell = F.col("na") + F.col("nb")
+    cum_before = F.sum(n_cell).over(wrun) - n_cell
+    avg_rank = cum_before + (n_cell + 1) / 2.0
+    ranked = cell.select(
+        "event_type",
+        "na",
+        "nb",
+        (F.col("na") * avg_rank).alias("ra"),
+        F.sum("na").over(wt).alias("n_a"),
+        F.sum("nb").over(wt).alias("n_b"),
+    )
+    r_a = F.sum("ra")
+    n_a = F.min("n_a").cast("double")
+    n_b = F.min("n_b").cast("double")
+    u_a = r_a - n_a * (n_a + 1) / 2
+    z = (u_a - n_a * n_b / 2) / F.sqrt(n_a * n_b * (n_a + n_b + 1) / 12)
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.min("n_a").cast("long").alias("n_a"),
+            F.min("n_b").cast("long").alias("n_b"),
+            (F.floor(u_a * 100 + F.lit(0.5)) / 100).alias("u_a"),
+            (F.floor(z * 100 + F.lit(0.5)) / 100).alias("z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+E41_SQL = """
+WITH cell AS (
+  SELECT event_type, value,
+         SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS na,
+         SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS nb
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT event_type, na, nb,
+         na * (SUM(na + nb) OVER (PARTITION BY event_type ORDER BY value)
+               - (na + nb) + (na + nb + 1) / 2.0) AS ra,
+         SUM(na) OVER (PARTITION BY event_type) AS n_a,
+         SUM(nb) OVER (PARTITION BY event_type) AS n_b
+  FROM cell)
+SELECT event_type,
+       CAST(MIN(n_a) AS BIGINT) AS n_a,
+       CAST(MIN(n_b) AS BIGINT) AS n_b,
+       FLOOR((SUM(ra) - MIN(n_a) * (MIN(n_a) + 1) / 2.0) * 100 + 0.5) / 100 AS u_a,
+       FLOOR((SUM(ra) - MIN(n_a) * (MIN(n_a) + 1) / 2.0
+              - MIN(n_a) * MIN(n_b) / 2.0)
+             / sqrt(MIN(n_a) * MIN(n_b) * (MIN(n_a) + MIN(n_b) + 1) / 12.0)
+             * 100 + 0.5) / 100 AS z
+FROM ranked GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "e41_mannwhitney": e41_mannwhitney,
     "e40_midhinge": e40_midhinge,
     "e39_autocorr": e39_autocorr,
     "e37_cusum": e37_cusum,
@@ -1581,6 +1666,7 @@ QUERIES = {
     "e15_range_window": e15_range_window,
 }
 ORACLES = {
+    "e41_mannwhitney": E41_SQL,
     "e40_midhinge": E40_SQL,
     "e39_autocorr": E39_SQL,
     "e37_cusum": E37_SQL,

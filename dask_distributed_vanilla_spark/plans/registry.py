@@ -76,6 +76,7 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # 50-entry window: judged locally via tools/check.py; they take driver
 # slots only after the earlier never-judged set.
 _R3_LATE = frozenset({
+    "e41_mannwhitney",
     "dq_ks",
     "stream_update_totals",
     "e40_midhinge",
