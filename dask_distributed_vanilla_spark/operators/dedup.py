@@ -688,6 +688,61 @@ ORDER BY doc_a, doc_b
 """
 
 
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact-dedup audit — the chain text_normalize
+    promises: lowercase/strip/squeeze first, md5 second, so case and
+    punctuation variants of the same document collide where raw-byte
+    dedup (dedup_exact) keeps them apart. One row of corpus-level
+    accounting: raw vs normalized distinct counts and how many groups
+    normalization merged (zero is itself a result — this fixture is
+    already canonical; a web crawl is not).
+
+    Two digests per doc in one scan, two count-distincts in one
+    aggregate — only 32-byte hashes reach the shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    keyed = docs.select(
+        F.md5(norm).alias("norm_hash"), F.md5(F.col("text")).alias("raw_hash")
+    )
+    merged = (
+        keyed.groupBy("norm_hash")
+        .agg(F.countDistinct("raw_hash").alias("v"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_norm_distinct"),
+            F.sum(F.when(F.col("v") > 1, 1).otherwise(0)).cast("long").alias(
+                "n_merged_groups"
+            ),
+        )
+    )
+    totals = keyed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("raw_hash").alias("n_raw_distinct"),
+    )
+    return totals.crossJoin(merged).select(
+        "n_docs", "n_raw_distinct", "n_norm_distinct", "n_merged_groups"
+    )
+
+
+DEDUP_EXACT_NORMALIZED_SQL = """
+WITH keyed AS (
+  SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                 ' +', ' ', 'g'))) AS norm_hash,
+         md5(text) AS raw_hash
+  FROM documents),
+g AS (SELECT norm_hash, COUNT(DISTINCT raw_hash) AS v FROM keyed GROUP BY 1)
+SELECT (SELECT COUNT(*) FROM keyed) AS n_docs,
+       (SELECT CAST(COUNT(DISTINCT raw_hash) AS BIGINT) FROM keyed) AS n_raw_distinct,
+       CAST(COUNT(*) AS BIGINT) AS n_norm_distinct,
+       CAST(SUM(CASE WHEN v > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_merged_groups
+FROM g
+"""
+
+
 # --- incremental (delta-vs-corpus) dedup --------------------------------
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest dedup: drop new-batch docs whose exact content
@@ -826,6 +881,7 @@ ORDER BY doc_id
 
 
 QUERIES = {
+    "dedup_exact_normalized": dedup_exact_normalized,
     "dedup_containment": dedup_containment,
     "dedup_cluster_hist": dedup_cluster_hist,
     "dedup_lsh_audit": dedup_lsh_audit,
@@ -839,6 +895,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_exact_normalized": DEDUP_EXACT_NORMALIZED_SQL,
     "dedup_containment": DEDUP_CONTAINMENT_SQL,
     "dedup_cluster_hist": _cluster_hist_sql(),
     "dedup_lsh_audit": _lsh_audit_sql(),

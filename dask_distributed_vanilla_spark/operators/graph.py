@@ -226,6 +226,53 @@ ORDER BY type_a, type_b
 """
 
 
+def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-occurrence graph, log2-bucketed —
+    the census that tells you whether the graph is skew-prone before
+    any join touches it (a heavy tail is exactly where CELL_CAP,
+    degree-ordered orientation, and AQE skew handling earn their keep).
+    Buckets come from integer bit-length (floor(log2(deg))), so the
+    histogram is pure integer arithmetic on both engines.
+    """
+    e = _edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    bucket = F.floor(F.log2("deg")).cast("int")
+    return (
+        deg.groupBy(bucket.alias("log2_deg"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("deg").alias("min_deg"),
+            F.max("deg").alias("max_deg"),
+        )
+        .orderBy("log2_deg")
+    )
+
+
+GRAPH_DEGREE_HIST_SQL = """
+WITH g0 AS (
+  SELECT DISTINCT event_type, date_trunc('minute', ts) AS m, user_id
+  FROM events),
+g AS (SELECT event_type, m, user_id FROM g0
+      QUALIFY COUNT(*) OVER (PARTITION BY event_type, m) <= 500),
+e AS (
+  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+  FROM g a JOIN g b
+    ON a.event_type = b.event_type AND a.m = b.m AND a.user_id < b.user_id),
+deg AS (
+  SELECT node, COUNT(*) AS deg
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+  GROUP BY node)
+SELECT CAST(FLOOR(log2(deg)) AS INT) AS log2_deg,
+       COUNT(*) AS n_nodes, MIN(deg) AS min_deg, MAX(deg) AS max_deg
+FROM deg GROUP BY 1 ORDER BY 1
+"""
+
+
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the user co-occurrence graph — five damped
     power-iteration rounds (d=0.85), ranks reported mean-normalized
@@ -338,12 +385,14 @@ GRAPH_PAGERANK_SQL = _pagerank_sql()
 
 
 QUERIES = {
+    "graph_degree_hist": graph_degree_hist,
     "graph_triangles": graph_triangles,
     "graph_pagerank": graph_pagerank,
     "basket_lift": basket_lift,
 }
 
 ORACLES = {
+    "graph_degree_hist": GRAPH_DEGREE_HIST_SQL,
     "graph_triangles": GRAPH_TRIANGLES_SQL,
     "graph_pagerank": GRAPH_PAGERANK_SQL,
     "basket_lift": BASKET_LIFT_SQL,
