@@ -702,7 +702,75 @@ FROM g ORDER BY decile
 """
 
 
+TEMPLATE_SHARE = 0.5  # a shingle in ≥ half a source's docs is boilerplate
+
+
+def source_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate detection: 5-gram shingles present in at
+    least {share:.0%} of a source's documents are template text
+    (headers, footers, nav chrome) — the pass that runs before
+    near-dedup so boilerplate doesn't glue unrelated documents into
+    one giant LSH cluster. Reports each source's template-shingle
+    count and the worst offender's coverage.
+
+    Shingles reduce to DISTINCT (source, doc, digest) then aggregate
+    twice ((source, shingle) df, then per-source rollup) — text never
+    crosses an exchange, and the within-source df threshold is the
+    same guard DF_CAP provides globally, applied per feed.
+    """
+    from dask_distributed_vanilla_spark.operators.dedup import shingles_from_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", "doc_id", F.split(F.col("text"), " ").alias("words")
+    )
+    sh = words.select(
+        "source",
+        "doc_id",
+        F.explode(F.array_distinct(shingles_from_words(F.col("words"), 5))).alias("sh"),
+    ).select("source", "doc_id", F.md5("sh").alias("h"))
+    src_docs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    df_tbl = (
+        sh.groupBy("source", "h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(F.broadcast(src_docs), "source")
+        .withColumn("share", F.col("df") / F.col("n_docs"))
+    )
+    return (
+        df_tbl.groupBy("source")
+        .agg(
+            F.min("n_docs").alias("n_docs"),
+            F.sum((F.col("share") >= TEMPLATE_SHARE).cast("long")).alias(
+                "n_template_shingles"
+            ),
+            (F.floor(F.max("share") * 100 + F.lit(0.5)) / 100).alias("max_share"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_TEMPLATES_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT source, doc_id,
+         md5(w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]) AS h
+  FROM (SELECT source, doc_id, string_split(text, ' ') AS w FROM documents),
+       UNNEST(generate_series(1, len(w) - 4)) AS u(i)
+  WHERE len(w) >= 5),
+src AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+df AS (
+  SELECT s.source, s.h, COUNT(*) * 1.0 / MIN(src.n_docs) AS share,
+         MIN(src.n_docs) AS n_docs
+  FROM sh s JOIN src USING (source) GROUP BY s.source, s.h)
+SELECT source, CAST(MIN(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN share >= {TEMPLATE_SHARE} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_template_shingles,
+       FLOOR(MAX(share) * 100 + 0.5) / 100 AS max_share
+FROM df GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
+    "source_templates": source_templates,
     "quality_token_mix": quality_token_mix,
     "source_overlap": source_overlap,
     "sample_weighted": sample_weighted,
@@ -719,6 +787,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "source_templates": SOURCE_TEMPLATES_SQL,
     "quality_token_mix": _quality_token_mix_sql(),
     "source_overlap": SOURCE_OVERLAP_SQL,
     "sample_weighted": SAMPLE_WEIGHTED_SQL,

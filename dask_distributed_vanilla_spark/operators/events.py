@@ -1623,7 +1623,48 @@ FROM ranked GROUP BY event_type ORDER BY event_type
 """
 
 
+def e42_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type distribution — the
+    behavioral-diversity feature (a bot hammering one endpoint scores
+    ~0; an organic user spreads across types). Two aggregates on one
+    user_id key: (user, type) counts, then the entropy fold over each
+    user's ≤|types| rows — p·ln p arithmetic happens on tiny per-user
+    groups, never the raw event stream.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cell = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+
+    wu = Window.partitionBy("user_id")
+    p = F.col("c") / F.sum("c").over(wu)
+    return (
+        cell.select("user_id", F.sum("c").over(wu).alias("n_events"), (-p * F.log(p)).alias("term"))
+        .groupBy("user_id")
+        .agg(
+            F.min("n_events").cast("long").alias("n_events"),
+            (F.floor(F.sum("term") * 1000 + F.lit(0.5)) / 1000).alias("entropy"),
+        )
+        .orderBy("user_id")
+    )
+
+
+E42_SQL = """
+WITH cell AS (
+  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2),
+t AS (
+  SELECT user_id,
+         SUM(c) OVER (PARTITION BY user_id) AS n_events,
+         -(c * 1.0 / SUM(c) OVER (PARTITION BY user_id))
+           * ln(c * 1.0 / SUM(c) OVER (PARTITION BY user_id)) AS term
+  FROM cell)
+SELECT user_id, CAST(MIN(n_events) AS BIGINT) AS n_events,
+       FLOOR(SUM(term) * 1000 + 0.5) / 1000 AS entropy
+FROM t GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "e42_entropy": e42_entropy,
     "e41_mannwhitney": e41_mannwhitney,
     "e40_midhinge": e40_midhinge,
     "e39_autocorr": e39_autocorr,
@@ -1666,6 +1707,7 @@ QUERIES = {
     "e15_range_window": e15_range_window,
 }
 ORACLES = {
+    "e42_entropy": E42_SQL,
     "e41_mannwhitney": E41_SQL,
     "e40_midhinge": E40_SQL,
     "e39_autocorr": E39_SQL,
