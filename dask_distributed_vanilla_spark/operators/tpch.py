@@ -737,7 +737,76 @@ FROM scored GROUP BY 1 ORDER BY 1
 """
 
 
+def orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: the exact Gini coefficient over
+    per-customer spend plus the share of customers needed to cover 80%
+    of revenue — the whale-dependence readout behind every "top X% of
+    customers drive Y%" decision.
+
+    Shape: one customer-level aggregate, one ranked window over the
+    CUSTOMER table (never the orders fact), then the closed-form Gini
+    Σ(2i−n−1)·xᵢ / (n·Σx) on the sorted spend — integers and one ratio,
+    so the statistic is engine-exact up to display rounding.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("m")
+    )
+    w = Window.orderBy("m", "o_custkey")
+    wt = Window.partitionBy()
+    ranked = per_cust.select(
+        "m",
+        F.row_number().over(w).cast("double").alias("i"),
+        F.count(F.lit(1)).over(wt).cast("double").alias("n"),
+        F.sum("m").over(wt).alias("tot"),
+        (
+            F.sum("m").over(wt)
+            - F.coalesce(
+                F.sum("m").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0.0),
+            )
+        ).alias("rev_from_here"),
+    )
+    gini = F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("m")) / (
+        F.min("n") * F.min("tot")
+    )
+    covered80 = F.sum(
+        (F.col("rev_from_here") >= 0.2 * F.col("tot")).cast("long")
+    )  # customers from the top until the REMAINING tail holds <20%
+    return ranked.agg(
+        F.min("n").cast("long").alias("n_customers"),
+        (F.floor(gini * 1000 + F.lit(0.5)) / 1000).alias("gini"),
+        (
+            F.floor((F.min("n") - covered80) / F.min("n") * 1000 + F.lit(0.5)) / 1000
+        ).alias("top_share_for_80pct"),
+    )
+
+
+ORDERS_PARETO_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS m
+  FROM orders GROUP BY 1),
+ranked AS (
+  SELECT m,
+         CAST(ROW_NUMBER() OVER (ORDER BY m, o_custkey) AS DOUBLE) AS i,
+         CAST(COUNT(*) OVER () AS DOUBLE) AS n,
+         SUM(m) OVER () AS tot,
+         SUM(m) OVER () - COALESCE(SUM(m) OVER (ORDER BY m, o_custkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS rev_from_here
+  FROM per_cust)
+SELECT CAST(MIN(n) AS BIGINT) AS n_customers,
+       FLOOR(SUM((2 * i - n - 1) * m) / (MIN(n) * MIN(tot)) * 1000 + 0.5) / 1000 AS gini,
+       FLOOR((MIN(n) - SUM(CASE WHEN rev_from_here >= 0.2 * tot THEN 1 ELSE 0 END))
+             / MIN(n) * 1000 + 0.5) / 1000 AS top_share_for_80pct
+FROM ranked
+"""
+
+
 QUERIES = {
+    "orders_pareto": orders_pareto,
     "rfm_segments": rfm_segments,
     "a1": a1,
     "a3": a3,
@@ -758,6 +827,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "orders_pareto": ORDERS_PARETO_SQL,
     "rfm_segments": RFM_SQL,
     "a1": A1_SQL,
     "a3": A3_SQL,
