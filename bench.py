@@ -24,7 +24,7 @@ from dask_distributed_vanilla_spark.session import get_spark
 
 
 # Suite-total drift budget at the driver's sf0.1 / local[32] config:
-# round 3 final measured 168.2s over the 163-query suite on an idle
+# round 3 final measured 164.6s over the 172-query suite on an idle
 # box (median-of-reps; the ER/dedup audit queries each re-run the two
 # operators they measure, ~4-6s apiece). Co-running workloads inflate
 # the total, so the budget keeps ~25% headroom for a loaded driver
