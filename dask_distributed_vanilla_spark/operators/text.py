@@ -949,7 +949,46 @@ def text_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source hapax-legomena profile: the share of a feed's
+    vocabulary used exactly once — natural prose sits high (Zipf's
+    long tail), template/generated text collapses it, making this one
+    of the cheapest synthetic-content smells. Two aggregates on the
+    (source, token) key: occurrence counts, then the vocab/hapax
+    rollup — token strings stop at the first aggregate's map side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).where(F.length("tok") > 0)
+    counts = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.sum((F.col("c") == 1).cast("long")).alias("n_hapax"),
+            round2(
+                F.sum((F.col("c") == 1).cast("long")) / F.count(F.lit(1))
+            ).alias("hapax_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+TEXT_HAPAX_SQL = f"""
+WITH tok AS (
+  SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+counts AS (
+  SELECT source, tok, COUNT(*) AS c FROM tok WHERE len(tok) > 0 GROUP BY 1, 2)
+SELECT source, COUNT(*) AS vocab_size,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       {round2_sql("SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)")} AS hapax_ratio
+FROM counts GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
+    "text_hapax_ratio": text_hapax_ratio,
     "text_logreg_quality": text_logreg_quality,
     "text_compress_ratio": text_compress_ratio,
     "text_lang_confusion": text_lang_confusion,
@@ -971,6 +1010,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_hapax_ratio": TEXT_HAPAX_SQL,
     "text_logreg_quality": None,  # iterative float training: rows-only; numpy-pinned in pytest
     "text_compress_ratio": None,  # zlib not in SQL: rows-only; zlib-pinned in pytest
     "text_lang_confusion": _lang_confusion_sql(),
