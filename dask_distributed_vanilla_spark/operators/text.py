@@ -987,7 +987,62 @@ FROM counts GROUP BY source ORDER BY source
 """
 
 
+ZIPF_TOP = 100  # fit the law over the head of the distribution
+
+
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: OLS slope of ln(freq) on ln(rank) over the top
+    {n} corpus tokens — natural language sits near −1; a slope far off
+    flags template floods (flat head) or truncated vocabularies (steep
+    cliff). Companion to the hapax tail check: together they bracket
+    the whole rank-frequency curve.
+
+    One token-count aggregate, TakeOrdered top-{n}, then the slope as
+    covar_pop/var_pop over exactly {n} rows — both engines evaluate
+    the identical closed form.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    freq = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .where(F.length("tok") > 0)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(ZIPF_TOP)
+    )
+    ranked = freq.select(
+        F.log(F.row_number().over(Window.orderBy(F.desc("c"), "tok")).cast("double")).alias(
+            "lx"
+        ),
+        F.log(F.col("c").cast("double")).alias("ly"),
+    )
+    slope = F.covar_pop("lx", "ly") / F.var_pop("lx")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        (F.floor(slope * 1000 + F.lit(0.5)) / 1000).alias("zipf_slope"),
+    )
+
+
+TEXT_ZIPF_SQL = f"""
+WITH freq AS (
+  SELECT tok, COUNT(*) AS c
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+  WHERE len(tok) > 0 GROUP BY tok
+  ORDER BY c DESC, tok LIMIT {ZIPF_TOP}),
+ranked AS (
+  SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS DOUBLE)) AS lx,
+         ln(CAST(c AS DOUBLE)) AS ly
+  FROM freq)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+       FLOOR(covar_pop(lx, ly) / var_pop(lx) * 1000 + 0.5) / 1000 AS zipf_slope
+FROM ranked
+"""
+
+
 QUERIES = {
+    "text_zipf_slope": text_zipf_slope,
     "text_hapax_ratio": text_hapax_ratio,
     "text_logreg_quality": text_logreg_quality,
     "text_compress_ratio": text_compress_ratio,
@@ -1010,6 +1065,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_zipf_slope": TEXT_ZIPF_SQL,
     "text_hapax_ratio": TEXT_HAPAX_SQL,
     "text_logreg_quality": None,  # iterative float training: rows-only; numpy-pinned in pytest
     "text_compress_ratio": None,  # zlib not in SQL: rows-only; zlib-pinned in pytest
