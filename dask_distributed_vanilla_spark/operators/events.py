@@ -1663,7 +1663,72 @@ FROM t GROUP BY user_id ORDER BY user_id
 """
 
 
+def e43_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-process dispersion index per event type: variance/mean of
+    per-minute counts over the stream's span — 1.0 means Poisson
+    arrivals; >1 is bursty (retry storms, batch uploads), <1 is
+    machine-regular (a cron pretending to be users). The monitoring
+    twin of e37's change-point: CUSUM says *when* a stream broke, this
+    says *what kind* of process it is.
+
+    Two aggregates: (type, minute) counts over a dense minute grid
+    (empty minutes count as zero via the span-length denominator in
+    closed form), then var_pop/mean per type — integer counts in, one
+    ratio out.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        (
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))) / 60
+        ).cast("long").alias("n_minutes")
+    )
+    cell = ev.groupBy(
+        "event_type", F.date_trunc("minute", F.col("ts")).alias("m")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    # closed-form var over the dense grid: occupied minutes carry c,
+    # the remaining (n_minutes - k) minutes carry 0
+    per_type = cell.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    n = F.col("n_minutes").cast("double")
+    mean = F.col("s") / n
+    var = F.col("ss") / n - mean * mean
+    return (
+        per_type.crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.col("k").cast("long").alias("n_active_minutes"),
+            F.col("s").cast("long").alias("n_events"),
+            (F.floor(var / mean * 1000 + F.lit(0.5)) / 1000).alias("dispersion"),
+        )
+        .orderBy("event_type")
+    )
+
+
+E43_SQL = """
+WITH span AS (
+  SELECT CAST((epoch(MAX(ts)) - epoch(MIN(ts))) / 60 AS BIGINT) AS n_minutes
+  FROM events),
+cell AS (
+  SELECT event_type, date_trunc('minute', ts) AS m, COUNT(*) AS c
+  FROM events GROUP BY 1, 2),
+per_type AS (
+  SELECT event_type, COUNT(*) AS k, SUM(c) AS s, SUM(c * c) AS ss
+  FROM cell GROUP BY 1)
+SELECT event_type,
+       CAST(k AS BIGINT) AS n_active_minutes,
+       CAST(s AS BIGINT) AS n_events,
+       FLOOR((ss / (span.n_minutes * 1.0) - (s / (span.n_minutes * 1.0)) * (s / (span.n_minutes * 1.0)))
+             / (s / (span.n_minutes * 1.0)) * 1000 + 0.5) / 1000 AS dispersion
+FROM per_type CROSS JOIN span
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "e43_dispersion": e43_dispersion,
     "e42_entropy": e42_entropy,
     "e41_mannwhitney": e41_mannwhitney,
     "e40_midhinge": e40_midhinge,
@@ -1707,6 +1772,7 @@ QUERIES = {
     "e15_range_window": e15_range_window,
 }
 ORACLES = {
+    "e43_dispersion": E43_SQL,
     "e42_entropy": E42_SQL,
     "e41_mannwhitney": E41_SQL,
     "e40_midhinge": E40_SQL,

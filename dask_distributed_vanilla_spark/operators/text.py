@@ -1041,7 +1041,89 @@ FROM ranked
 """
 
 
+PMI_MIN_COUNT = 5
+PMI_TOP = 20
+
+
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-scored collocations: the top-{k} adjacent token pairs by
+    pointwise mutual information (count floor {floor}) — the
+    phrase-mining pass that decides which bigrams deserve a single
+    vocabulary slot ("new york" vs incidental adjacency). PMI =
+    ln(N·c(ab) / (c(a)·c(b))) over the corpus' own counts.
+
+    Three count aggregates (unigrams, bigrams, totals as broadcast
+    1-row frames); ranking keys on the binary-rounded PMI with the
+    bigram as tiebreak, so the top-k is engine-exact. At corpus scale
+    everything is (token, count) tables — text leaves the scan only as
+    exploded tokens into map-side partial counts.
+    """
+    from pyspark.sql import Window
+
+    t = _with_words(load_table(spark, sf_dir, "documents"))
+    uni = (
+        t.select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = t.select(
+        F.explode(
+            F.expr("transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS a, w[i] AS b))")
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    big = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
+    n_big = big.agg(F.sum("cab").cast("double").alias("nb"))
+    pmi = F.log(
+        F.col("nb") * F.col("cab") / (F.col("ca").cast("double") * F.col("cb"))
+    )
+    scored = (
+        big.where(F.col("cab") >= PMI_MIN_COUNT)
+        .join(uni.select(F.col("tok").alias("a"), F.col("c").alias("ca")), "a")
+        .join(uni.select(F.col("tok").alias("b"), F.col("c").alias("cb")), "b")
+        .crossJoin(F.broadcast(n_big))
+        .select(
+            "a",
+            "b",
+            "cab",
+            (F.floor(pmi * 1000 + F.lit(0.5)) / 1000).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi"), "a", "b")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= PMI_TOP)
+        .select("rank", "a", "b", "cab", "pmi")
+        .orderBy("rank")
+    )
+
+
+TEXT_PMI_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+uni AS (
+  SELECT tok, COUNT(*) AS c
+  FROM (SELECT UNNEST(w) AS tok FROM t) GROUP BY 1),
+pairs AS (
+  SELECT w[i] AS a, w[i+1] AS b
+  FROM t, UNNEST(generate_series(1, len(w) - 1)) AS u(i)),
+big AS (SELECT a, b, COUNT(*) AS cab FROM pairs GROUP BY 1, 2),
+nb AS (SELECT SUM(cab) * 1.0 AS nb FROM big),
+scored AS (
+  SELECT big.a, big.b, big.cab,
+         FLOOR(ln(nb.nb * big.cab / (ua.c * 1.0 * ub.c)) * 1000 + 0.5) / 1000 AS pmi
+  FROM big
+  JOIN uni ua ON ua.tok = big.a
+  JOIN uni ub ON ub.tok = big.b
+  CROSS JOIN nb
+  WHERE big.cab >= {PMI_MIN_COUNT}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, a, b) AS rank FROM scored)
+SELECT CAST(rank AS INT) AS rank, a, b, cab, pmi
+FROM ranked WHERE rank <= {PMI_TOP} ORDER BY rank
+"""
+
+
 QUERIES = {
+    "text_pmi_bigrams": text_pmi_bigrams,
     "text_zipf_slope": text_zipf_slope,
     "text_hapax_ratio": text_hapax_ratio,
     "text_logreg_quality": text_logreg_quality,
@@ -1065,6 +1147,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_pmi_bigrams": TEXT_PMI_SQL,
     "text_zipf_slope": TEXT_ZIPF_SQL,
     "text_hapax_ratio": TEXT_HAPAX_SQL,
     "text_logreg_quality": None,  # iterative float training: rows-only; numpy-pinned in pytest

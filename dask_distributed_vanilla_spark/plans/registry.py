@@ -76,6 +76,8 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # 50-entry window: judged locally via tools/check.py; they take driver
 # slots only after the earlier never-judged set.
 _R3_LATE = frozenset({
+    "text_pmi_bigrams",
+    "e43_dispersion",
     "text_zipf_slope",
     "text_hapax_ratio",
     "orders_pareto",
