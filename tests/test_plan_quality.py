@@ -572,3 +572,33 @@ def test_two_level_stream_sink_rollup_is_trivial(spark):
 
     plan = formatted_plan(stream_two_level(spark, SF_SMOKE))
     assert "Join" not in plan
+
+
+def test_pmi_bigrams_no_cartesian(spark):
+    """PMI's three count tables join on token keys; the only
+    nested-loop allowed is the deliberate 1-row totals broadcast."""
+    from dask_distributed_vanilla_spark.operators.text import text_pmi_bigrams
+
+    plan = formatted_plan(text_pmi_bigrams(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+
+
+def test_hapax_ratio_single_scan_no_join(spark):
+    """Vocabulary profiling is two aggregates over one scan — token
+    strings must never cross a join."""
+    from dask_distributed_vanilla_spark.operators.text import text_hapax_ratio
+
+    plan = formatted_plan(text_hapax_ratio(spark, SF_SMOKE))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_dispersion_reads_only_ts_and_type(spark):
+    """The dispersion index needs (event_type, ts) — the scan must not
+    read value/props, and the span cross join stays a 1-row broadcast."""
+    from dask_distributed_vanilla_spark.operators.events import e43_dispersion
+
+    plan = formatted_plan(e43_dispersion(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    first_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "value" not in first_schema and "props" not in first_schema
