@@ -2,9 +2,15 @@
 
 Protocol (BASELINE.md): per query, wall-clock of plan build → execute →
 collect, median of $BENCH_REPS runs (default 3) after one warm-up of the
-whole suite's input scans. Prints ONE JSON line:
-  {"metric": "suite_total_sec", "value": N, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1, ...}
+whole suite's input scans.
+
+Output contract (truncation-proof — the driver keeps only the LAST
+~2,000 chars of stdout, which in round 3 cut the 176-query JSON and
+left BENCH_r03 undiagnosable): the FULL result (all per-query timings +
+aux) is printed first on its own line, and the FINAL line is a compact
+(<1,500 char) complete JSON with the suite total, per-family geomeans,
+the top-10 slowest queries (as the "queries" dict), and the budget
+flag. Whichever line survives, the round is diagnosable.
 """
 
 from __future__ import annotations
@@ -113,6 +119,20 @@ def main() -> None:
         except Exception as e:  # pragma: no cover - defensive
             aux["linalg"] = {"error": str(e)[:300]}
 
+    config = {
+        "sf": sf,
+        "n_queries": len(timings),
+        "reps": reps,
+        "reps_subsec": SUBSEC_REPS,
+        "budget_sec": SUITE_BUDGET_SEC,
+        "over_budget": total > SUITE_BUDGET_SEC,
+        "spark": spark.version,
+        "cores": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+    }
+    # Full record first (its own line; may be truncated by the driver —
+    # the same dict lands in the repo via tools/bench snapshots).
     print(
         json.dumps(
             {
@@ -122,19 +142,48 @@ def main() -> None:
                 "queries": timings,
                 "tpch_geomean_sec": tpch_geomean,
                 "aux": aux,
-                "sf": sf,
-                "n_queries": len(timings),
-                "reps": reps,
-                "reps_subsec": SUBSEC_REPS,
-                "budget_sec": SUITE_BUDGET_SEC,
-                "over_budget": total > SUITE_BUDGET_SEC,
-                "spark": spark.version,
-                "cores": os.environ.get("SPARK_GRAFT_CPUS", "*"),
-                "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
-                "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+                **config,
             }
         )
     )
+    # Compact summary LAST so it survives tail-truncation: per-family
+    # geomeans + the 10 slowest queries stand in for the full dict.
+    fams: dict[str, list[float]] = {}
+    for k, v in timings.items():
+        fams.setdefault(_family(k), []).append(max(v, 1e-3))
+    geo = {
+        f: round(statistics.geometric_mean(ts), 3) for f, ts in sorted(fams.items())
+    }
+    slow10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    print(
+        json.dumps(
+            {
+                "metric": "suite_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": slow10,
+                "summary": "top10_slowest_only_full_dict_on_first_line",
+                "family_geomean_sec": geo,
+                "tpch_geomean_sec": tpch_geomean,
+                **config,
+            }
+        )
+    )
+
+
+def _family(name: str) -> str:
+    """Bench reporting families (the verdict's requested breakdown)."""
+    if name.startswith(("a", "b")) and name[1:].isdigit():
+        return "tpch"
+    if name.startswith("stream_"):
+        return "stream"
+    if name.startswith("text_") or name == "bpe_merges":
+        return "text"
+    if name.startswith(("dedup_", "chunk_dedup", "semdedup")):
+        return "dedup"
+    if name.startswith("e") and name[1:].split("_")[0].isdigit():
+        return "events"
+    return "other"
 
 
 if __name__ == "__main__":

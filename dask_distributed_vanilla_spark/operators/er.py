@@ -201,8 +201,11 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: edges come from the linear FastSS signature join (never
     n²); clustering is min-label propagation over the edge list —
     edit-distance-1 name clusters are dense, so a few rounds with a
-    checkpointed changed-flag converge (8-round budget, same iterative
-    contract as dedup_cc — non-fixpoint warns); consolidation is one groupBy over the labeled keys plus a
+    checkpointed changed-flag converge. The loop runs TO FIXPOINT
+    (changed == 0) under a generous 64-round hard cap and RAISES if the
+    cap is hit before convergence — an unconverged cluster id is a wrong
+    answer, never a warning (same iterative contract as dedup_cc).
+    Consolidation is one groupBy over the labeled keys plus a
     broadcast-sized join back for the canonical names. Verified against
     a recursive-CTE + quadratic-θ-join oracle.
     """
@@ -221,7 +224,12 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        for _ in range(8):
+        # Run to fixpoint: the match-graph diameter is corpus-dependent,
+        # so a fixed small budget would silently return unconverged ids
+        # on denser corpora. 64 min-label rounds cover any graph of
+        # diameter <= 64 (d<=1 name clusters are near-cliques; observed
+        # fixpoint is 2-3 rounds); hitting the cap raises below.
+        for _ in range(64):
             prop = (
                 edges.join(labels.withColumnRenamed("node", "nbr"), "nbr")
                 .groupBy("node")
@@ -247,13 +255,10 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     if changed != 0:
-        import warnings
-
-        warnings.warn(
+        raise RuntimeError(
             "er_golden_record: label propagation did not reach a fixpoint "
-            "within 8 rounds; cluster ids may be unconverged",
-            RuntimeWarning,
-            stacklevel=2,
+            "within 64 rounds — cluster ids would be unconverged (wrong), "
+            "refusing to emit them"
         )
     g = (
         labels.join(cust, labels.node == cust.c_custkey)

@@ -1677,9 +1677,22 @@ def e43_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio out.
     """
     ev = load_table(spark, sf_dir, "events")
+    # Grid size from TRUNCATED endpoints: the dense grid of
+    # date_trunc('minute') buckets runs trunc(min)..trunc(max) inclusive,
+    # i.e. (epoch diff of truncated stamps)/60 + 1 slots. The epoch diff
+    # of two minute-truncated stamps is an exact multiple of 60, so both
+    # engines compute the identical integer — no float cast ambiguity
+    # (Spark cast('long') truncates, DuckDB CAST AS BIGINT rounds).
     span = ev.agg(
         (
-            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))) / 60
+            F.floor(
+                (
+                    F.unix_timestamp(F.date_trunc("minute", F.max("ts")))
+                    - F.unix_timestamp(F.date_trunc("minute", F.min("ts")))
+                )
+                / 60
+            )
+            + 1
         ).cast("long").alias("n_minutes")
     )
     cell = ev.groupBy(
@@ -1709,7 +1722,9 @@ def e43_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 E43_SQL = """
 WITH span AS (
-  SELECT CAST((epoch(MAX(ts)) - epoch(MIN(ts))) / 60 AS BIGINT) AS n_minutes
+  SELECT CAST(FLOOR((epoch(date_trunc('minute', MAX(ts)))
+                     - epoch(date_trunc('minute', MIN(ts)))) / 60) AS BIGINT) + 1
+           AS n_minutes
   FROM events),
 cell AS (
   SELECT event_type, date_trunc('minute', ts) AS m, COUNT(*) AS c

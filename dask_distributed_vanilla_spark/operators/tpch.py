@@ -772,14 +772,17 @@ def orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     gini = F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("m")) / (
         F.min("n") * F.min("tot")
     )
-    covered80 = F.sum(
-        (F.col("rev_from_here") >= 0.2 * F.col("tot")).cast("long")
-    )  # customers from the top until the REMAINING tail holds <20%
+    # rev_from_here(i) = revenue of rows i..n (ascending m), so it is
+    # non-increasing in i. The smallest top set covering >=80% of revenue
+    # starts at the LARGEST i with rev_from_here >= 0.8*tot; with
+    # i1 = #{i : rev_from_here >= 0.8*tot} (monotone prefix), the set has
+    # n - i1 + 1 customers and the share is (n - i1 + 1) / n.
+    i1 = F.sum((F.col("rev_from_here") >= 0.8 * F.col("tot")).cast("long"))
     return ranked.agg(
         F.min("n").cast("long").alias("n_customers"),
         (F.floor(gini * 1000 + F.lit(0.5)) / 1000).alias("gini"),
         (
-            F.floor((F.min("n") - covered80) / F.min("n") * 1000 + F.lit(0.5)) / 1000
+            F.floor((F.min("n") - i1 + 1) / F.min("n") * 1000 + F.lit(0.5)) / 1000
         ).alias("top_share_for_80pct"),
     )
 
@@ -799,7 +802,7 @@ ranked AS (
   FROM per_cust)
 SELECT CAST(MIN(n) AS BIGINT) AS n_customers,
        FLOOR(SUM((2 * i - n - 1) * m) / (MIN(n) * MIN(tot)) * 1000 + 0.5) / 1000 AS gini,
-       FLOOR((MIN(n) - SUM(CASE WHEN rev_from_here >= 0.2 * tot THEN 1 ELSE 0 END))
+       FLOOR((MIN(n) - SUM(CASE WHEN rev_from_here >= 0.8 * tot THEN 1 ELSE 0 END) + 1)
              / MIN(n) * 1000 + 0.5) / 1000 AS top_share_for_80pct
 FROM ranked
 """

@@ -664,12 +664,18 @@ def stream_update_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    # the memory sink appends each update; counts are monotone, so the
-    # final totals are the per-user max
+    # The memory sink appends each update. Only the event COUNT is
+    # guaranteed monotone across updates; the money sum is not (a refund
+    # / negative value would make max(sv) pick an intermediate total),
+    # so recover the sv that belongs to the LATEST update via max_by on
+    # the count rather than max of the value.
     return (
         spark.table(sink)
         .groupBy("user_id")
-        .agg(F.max("n_events").alias("n_events"), F.max("sv").alias("sv"))
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("sv", "n_events").alias("sv"),
+        )
         .orderBy("user_id")
     )
 

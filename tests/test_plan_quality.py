@@ -602,3 +602,51 @@ def test_dispersion_reads_only_ts_and_type(spark):
     assert "CartesianProduct" not in plan
     first_schema = plan.split("ReadSchema")[1].split("\n")[0]
     assert "value" not in first_schema and "props" not in first_schema
+
+
+def test_zipf_topk_stays_upstream_of_global_window(spark):
+    """text_zipf_slope's unpartitioned rank window is only acceptable
+    because its input is the TakeOrdered top-ZIPF_TOP head, never the
+    corpus vocabulary. Pin the bound's position: the formatted tree
+    prints children after parents, so the TakeOrderedAndProject must
+    appear after (= upstream of) the Window node."""
+    from dask_distributed_vanilla_spark.operators.text import text_zipf_slope
+
+    plan = formatted_plan(text_zipf_slope(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject"), (
+        "top-k head must be upstream of the unpartitioned window"
+    )
+
+
+def test_pmi_count_floor_stays_upstream_of_global_window(spark):
+    """text_pmi_bigrams' global rank window holds only bigrams past the
+    PMI_MIN_COUNT floor — pin that the cab >= floor filter sits upstream
+    of the single Window node so a future edit can't silently rank the
+    raw corpus-sized bigram table on one partition."""
+    from dask_distributed_vanilla_spark.operators.text import (
+        PMI_MIN_COUNT,
+        text_pmi_bigrams,
+    )
+
+    plan = formatted_plan(text_pmi_bigrams(spark, SF_SMOKE))
+    assert plan.count("Window (") == 1
+    assert f">= {PMI_MIN_COUNT}" in plan, "count floor must survive in the plan"
+    assert "CartesianProduct" not in plan
+
+
+def test_orders_pareto_window_runs_on_customer_aggregate(spark):
+    """orders_pareto's unpartitioned windows are customer-dimension-
+    sized by construction: the per-customer groupBy must sit upstream of
+    the Window chain (tree prints children after parents), and the
+    orders scan must be pruned to (o_custkey, o_totalprice)."""
+    from dask_distributed_vanilla_spark.operators.tpch import orders_pareto
+
+    df = orders_pareto(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    first_window = plan.index("Window")
+    assert "HashAggregate" in plan[first_window:], (
+        "per-customer aggregate must be upstream of the global window"
+    )
+    schemas = read_schemas(df)
+    assert "o_orderdate" not in schemas and "o_comment" not in schemas

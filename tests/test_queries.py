@@ -346,3 +346,31 @@ def test_map_in_arrow_digest_matches_pandas_path(spark):
         for r in docs.select("doc_id", F.md5("payload").alias("digest")).collect()
     }
     assert arrow_out == jvm_out
+
+
+def test_orders_pareto_matches_independent_pandas(spark):
+    """The differential gate can't catch a formula bug mirrored into the
+    oracle (round-3 ADVICE: the 80%-coverage share was computed against
+    the wrong threshold on both engines). Pin the semantics against an
+    independent pandas computation: sort customers by spend descending,
+    take customers until the cumulative share first reaches 80%, report
+    that count / n."""
+    import pandas as pd
+
+    res = (
+        all_queries()["orders_pareto"](spark, SF_SMOKE)
+        .toPandas()
+        .iloc[0]
+    )
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    m = orders.groupby("o_custkey")["o_totalprice"].sum().round(2)
+    desc = m.sort_values(ascending=False).to_numpy()
+    cum = desc.cumsum()
+    k = int((cum >= 0.8 * desc.sum()).argmax()) + 1
+    n = len(desc)
+    import math
+
+    expected_share = math.floor(k / n * 1000 + 0.5) / 1000
+    assert int(res["n_customers"]) == n
+    assert res["top_share_for_80pct"] == expected_share
+    assert 0.0 < res["gini"] < 1.0
