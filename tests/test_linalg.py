@@ -46,6 +46,20 @@ def test_tsqr_svd_tall_skinny(spark):
     np.testing.assert_allclose(u_mat @ np.diag(s2) @ vt2, mat, atol=1e-8)
 
 
+def test_tsqr_svd_panels_matches_rowwise(spark):
+    """svd_tall_skinny_panels is the panel-layout twin of the row RDD
+    path (added because row-at-a-time pickling dominated at 1M×2,048):
+    identical singular values from either entry point."""
+    rng = np.random.RandomState(7)
+    mat = rng.random_sample((320, 12))
+    panels = spark.sparkContext.parallelize(
+        [(i, mat[i * 40 : (i + 1) * 40]) for i in range(8)], 8
+    )
+    s, vt = linalg.svd_tall_skinny_panels(panels)
+    np.testing.assert_allclose(s, np.linalg.svd(mat, compute_uv=False), rtol=1e-8)
+    assert vt.shape == (12, 12)
+
+
 def test_svd_compressed_square(spark):
     # low-rank square matrix: randomized SVD recovers leading spectrum
     rng = np.random.RandomState(0)

@@ -26,22 +26,54 @@ SIZES = {
     # (matmul n, chunk), (svd rows, cols, parts), (svd_sq n, chunk, k)
     "small": ((1024, 256), (100_000, 64, 16), (1024, 256, 5)),
     "medium": ((4096, 1024), (500_000, 128, 32), (4096, 1024, 5)),
-    # "large" = the largest 128 GiB / local[32] analogs of the BASELINE.md
-    # cluster configs, same algorithms and chunking discipline:
+    # "large" = the per-round 128 GiB / local[32] analogs of the
+    # BASELINE.md cluster configs, same algorithms and chunking
+    # discipline:
     #   matmul: broadcast plan at 16k×16k (ref matrix_multiplication.py:18-22
     #           is 64k×64k chunk 8k); the general grid-shuffle plan is
     #           recorded at 8k×8k to keep the per-round bench bounded
     #           (16k grid measured 390s — python-object shuffle-bound;
     #           the broadcast plan is the right local[32] plan at 16k)
-    #   TSQR   1,048,576×1024 in 16384-row chunks
-    #                             (ref svd_tall_skinny_matrix.py:21-25: 1,048,576×4096)
+    #   TSQR   1,048,576×2,048 in 16,384-row chunks — one size step from
+    #          round 3's 1,024 cols toward the reference's
+    #          1,048,576×4,096 (svd_tall_skinny_matrix.py:21-25)
     #   svd_compressed 16k×16k    (ref svd_square_matrix.py: 16k×16k)
-    "large": ((8_192, 2_048), (1_048_576, 1_024, 64), (16_384, 4_096, 5)),
+    "large": ((8_192, 2_048), (1_048_576, 2_048, 64), (16_384, 4_096, 5)),
+    # "xlarge" = the once-per-session ceiling probe (NOT run per-round;
+    # run it as `OMP_NUM_THREADS=4 python tools/bench_linalg.py --scale
+    # xlarge`; measured numbers + methodology live in SCALE.md §array
+    # ceilings). Probed this session:
+    #   - 32,768² GRID matmul is DISK-infeasible here, measured: at
+    #     chunk 8,192 the one-shuffle fan-out (bn × |A| × 2 ≈ 69 GB
+    #     estimated) reached ~77 GB of scratch before the map stage
+    #     finished and would have filled the sandbox's ~80 GB free disk
+    #     (random doubles don't lz4-compress). A cluster spreads the
+    #     same shuffle across executors' local disks — the chunking is
+    #     right, the single-node scratch volume is the binding limit.
+    #     xlarge therefore keeps the grid probe at 16,384²/4,096
+    #     (~34 GB scratch, measured 390s in round 3).
+    #   - 32,768² runs HERE via the zero-shuffle broadcast plan: B =
+    #     8.6 GB broadcast to 8 concurrent workers (8 × 8.6 ≈ 69 GB of
+    #     B copies, inside 128 GiB) with 4 BLAS threads each — measured
+    #     this session: 1,596s compute (44.1 GFLOPS) + 589s distributed
+    #     generate/collect, peak RSS ~113 GB, checksum = analytic n³/4.
+    # Remaining BASELINE.md configs exceed the sandbox, not the design:
+    #   65,536² matmul = 34 GB/operand; the broadcast plan needs |B| ×
+    #   concurrent-worker copies (even 2 × 34 GB + panels + JVM ≈ RAM)
+    #   and the grid plan ≥ 270 GB of shuffled blocks vs 80 GB free
+    #   disk; TSQR 1M×4,096 = 32 GB of rows with 537 MB/chunk QR
+    #   workspaces × 32 concurrent ≈ the whole heap once serializer
+    #   copies are counted.
+    # Block counts, not matrix size, bound per-task memory — the same
+    # chunking at those sizes fits a 1000-executor cluster unchanged.
+    "xlarge": ((16_384, 4_096), (1_048_576, 2_048, 64), (16_384, 4_096, 5)),
 }
 
 # broadcast-plan matmul size per scale (one operand broadcast, zero
-# shuffle — viable whenever B fits executor memory)
-BCAST_MATMUL_N = {"small": 1_024, "medium": 4_096, "large": 16_384}
+# shuffle — viable whenever B fits executor memory). xlarge's 32,768
+# needs 8-panel concurrency (8 × 8.6 GB B copies) + OMP_NUM_THREADS=4
+# so the 32 cores stay busy under the reduced task count.
+BCAST_MATMUL_N = {"small": 1_024, "medium": 4_096, "large": 16_384, "xlarge": 32_768}
 
 # kmeans samples / predict rows per scale (ref kmeans.py:22-28: 10M
 # samples, 3 centers; parallelizing_svm.py:23-41: 100M-row predict —
@@ -50,6 +82,7 @@ POINT_SIZES = {
     "small": (200_000, 200_000),
     "medium": (1_000_000, 1_000_000),
     "large": (10_000_000, 20_000_000),
+    "xlarge": (10_000_000, 20_000_000),
 }
 
 
@@ -72,6 +105,10 @@ def linalg_workloads(spark, scale: str = "small") -> dict:
     }
 
     bc_n = BCAST_MATMUL_N[scale]
+    # Concurrency × |B| must fit RAM (every concurrent Python worker
+    # deserializes its own copy of the broadcast): 16 panels up to 16k
+    # (2 GB copies), 8 panels at 32k (8.6 GB copies ≈ 69 GB).
+    bc_panels = 8 if bc_n >= 32_768 else 16
     t0 = time.perf_counter()
     # generate B distributed and collect: this sandbox writes fresh pages
     # at ~18 MB/s single-threaded (measured 115s for a 2 GB driver-side
@@ -81,17 +118,18 @@ def linalg_workloads(spark, scale: str = "small") -> dict:
             p
             for _, p in sorted(
                 linalg.random_row_panels(
-                    spark, bc_n, bc_n, max(bc_n // 16, 256), seed=7
+                    spark, bc_n, bc_n, max(bc_n // bc_panels, 256), seed=7
                 ).collect()
             )
         ]
     )
     t_gen = time.perf_counter() - t0
-    # 16 panels, NOT one per core: every concurrent Python worker holds
-    # its own deserialized copy of the 2 GB broadcast B, so concurrency
-    # × |B| must fit RAM — 32 workers thrashed (measured 468s vs 256s)
+    # bounded panel count, NOT one per core: every concurrent Python
+    # worker holds its own deserialized copy of the broadcast B, so
+    # concurrency × |B| must fit RAM — 32 workers thrashed at 16k
+    # (measured 468s vs 256s with 16)
     t0 = time.perf_counter()
-    panels = linalg.random_row_panels(spark, bc_n, bc_n, max(bc_n // 16, 256), seed=8)
+    panels = linalg.random_row_panels(spark, bc_n, bc_n, max(bc_n // bc_panels, 256), seed=8)
     linalg.matmul_broadcast(spark, panels, b_local).map(
         lambda kv: float(kv[1].sum())
     ).sum()
@@ -104,18 +142,17 @@ def linalg_workloads(spark, scale: str = "small") -> dict:
     }
 
     t0 = time.perf_counter()
-    rows = (
-        spark.sparkContext.parallelize(range(ts_parts), ts_parts)
-        .flatMap(
-            lambda i: list(
-                np.random.RandomState(42 + i).random_sample((ts_rows // ts_parts, ts_cols))
-            )
-        )
+    # panel layout, not exploded rows: the row-at-a-time RDD pickles one
+    # object per matrix row and at 1M×2,048 that serialization dominates
+    # (measured 340s row-wise vs ~60s as panels, identical algorithm)
+    panels = linalg.random_row_panels(
+        spark, ts_rows, ts_cols, ts_rows // ts_parts, seed=42
     )
-    s, _ = linalg.svd_tall_skinny(rows, ts_cols)
+    s, _ = linalg.svd_tall_skinny_panels(panels)
     results["svd_tall_skinny"] = {
         "rows": ts_rows,
         "cols": ts_cols,
+        "layout": "row panels",
         "sec": round(time.perf_counter() - t0, 3),
         "s_max": round(float(s[0]), 2),
     }
