@@ -64,8 +64,10 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
         queries.update(mod.QUERIES)
         oracles.update({k: v for k, v in mod.ORACLES.items() if v is not None})
 
+    judged, judged_no_oracle = _driver_judged()
+
     def _rank(name: str) -> tuple[int, int]:
-        if name not in _DRIVER_JUDGED_R01_R03:
+        if name not in judged:
             if name in _ADVICE_FIXED_NEVER_JUDGED:
                 return (0, _ADVICE_FIXED_NEVER_JUDGED.index(name))
             if name not in oracles:
@@ -73,12 +75,45 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
             return (1, 0)
         if name in _CHANGED_THIS_ROUND:
             return (3, 0)
-        if name in _JUDGED_NO_ORACLE:
+        if name in judged_no_oracle:
             return (5, 0)
         return (4, 0)
 
     queries = dict(sorted(queries.items(), key=lambda kv: _rank(kv[0])))
     return queries, oracles
+
+
+def _driver_judged() -> tuple[frozenset[str], frozenset[str]]:
+    """Names the driver has officially judged, discovered at runtime.
+
+    Self-maintaining across rounds: every ``CORRECTNESS_r*.json`` at the
+    repo root contributes its keys, so when a new round's file lands the
+    freshly-judged queries rotate out of the 50-entry window and the
+    still-never-judged ones rotate in — no hardcoded set to update.
+    Rows judged with ``err == "no_oracle"`` are tracked separately (they
+    rank dead last; re-judging a sketch twin can never produce a hash
+    match). Falls back to the verbatim r01–r03 union if the artifacts
+    are absent (e.g. the package imported outside the repo checkout)."""
+    import json
+    from pathlib import Path
+
+    judged: set[str] = set(_DRIVER_JUDGED_R01_R03)
+    no_oracle: set[str] = set(_JUDGED_NO_ORACLE)
+    root = Path(__file__).resolve().parents[2]
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(f.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        judged.update(rows)
+        no_oracle.update(
+            k
+            for k, v in rows.items()
+            if isinstance(v, dict) and v.get("err") == "no_oracle"
+        )
+    return frozenset(judged), frozenset(no_oracle)
 
 
 # Never-judged queries whose implementation (and oracle) were corrected
