@@ -636,14 +636,24 @@ def e21_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle the fact twice. Per-user state is two running moments, so a
     partition handles arbitrarily many users and skewed users stream
     (no per-group materialization beyond the partition sort).
+
+    A zero-variance user (a bot emitting one constant value — certain to
+    exist at corpus scale) has no defined z-score: the divisor is
+    NULLIF-guarded so such users yield NULL and drop out of the outlier
+    filter on BOTH engines, instead of Spark's ANSI mode failing the
+    whole job on DIVIDE_BY_ZERO (caught by the generated-fixture fuzz).
     """
+    from dask_distributed_vanilla_spark.functions.rounding import round2
+
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id")
-    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    z = (F.col("value") - F.avg("value").over(w)) / F.nullif(
+        F.stddev_samp("value").over(w), F.lit(0.0)
+    )
     return (
         ev.select("event_id", "user_id", z.alias("z"))
         .filter(F.abs(F.col("z")) > 2.5)
-        .select("event_id", "user_id", F.round("z", 2).alias("z"))
+        .select("event_id", "user_id", round2(F.col("z")).alias("z"))
         .orderBy("event_id")
     )
 
@@ -652,9 +662,9 @@ E21_SQL = """
 WITH scored AS (
   SELECT event_id, user_id,
          (value - AVG(value) OVER (PARTITION BY user_id))
-           / STDDEV_SAMP(value) OVER (PARTITION BY user_id) AS z
+           / NULLIF(STDDEV_SAMP(value) OVER (PARTITION BY user_id), 0) AS z
   FROM events)
-SELECT event_id, user_id, ROUND(z, 2) AS z
+SELECT event_id, user_id, FLOOR(z * 100 + 0.5) / 100 AS z
 FROM scored WHERE ABS(z) > 2.5 ORDER BY event_id
 """
 
@@ -1378,7 +1388,14 @@ def e36_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     extreme group cardinality swap `median` for `approx_percentile`
     (same plan shape, GK sketch instead of the sort), the e10 →
     e10_percentiles_approx relationship.
+
+    Display rounding uses the engine-portable half-up (round2) rather
+    than native ROUND: DuckDB's ROUND preserves IEEE −0.0 where Spark
+    emits +0.0 (a hash divergence the generated-fixture fuzz caught on
+    a near-zero median), and the two also disagree on the .xx5 grid.
     """
+    from dask_distributed_vanilla_spark.functions.rounding import round2
+
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
     stats = (
@@ -1394,8 +1411,8 @@ def e36_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(F.broadcast(stats), "event_type")
         .groupBy("event_type")
         .agg(
-            F.round(F.min("med"), 2).alias("med"),
-            F.round(F.min("mad"), 2).alias("mad"),
+            round2(F.min("med")).alias("med"),
+            round2(F.min("mad")).alias("mad"),
             F.count(F.lit(1)).alias("n"),
             F.sum(is_out.cast("long")).alias("n_outliers"),
         )
@@ -1410,7 +1427,9 @@ stats AS (
   SELECT e.event_type, MIN(m.med) AS med,
          median(ABS(e.value - m.med)) AS mad
   FROM events e JOIN med m USING (event_type) GROUP BY 1)
-SELECT e.event_type, ROUND(MIN(s.med), 2) AS med, ROUND(MIN(s.mad), 2) AS mad,
+SELECT e.event_type,
+       FLOOR(MIN(s.med) * 100 + 0.5) / 100 AS med,
+       FLOOR(MIN(s.mad) * 100 + 0.5) / 100 AS mad,
        COUNT(*) AS n,
        CAST(SUM(CASE WHEN ABS(e.value - s.med) > 3 * 1.4826 * s.mad
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers

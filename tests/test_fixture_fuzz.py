@@ -1,0 +1,122 @@
+"""Fixture-level differential fuzz: judged operators on GENERATED data.
+
+The expression fuzz in test_differential_fuzz.py varies the QUERY over
+fixed parquet; this suite varies the DATA under fixed judged queries.
+The distinction matters: the round-3 advisor found a truncate-vs-round
+engine divergence in the dispersion query that only an adversarial
+fixture (fractional minute span near .5) could expose — no expression
+fuzz reaches that class. Here hypothesis generates small event tables
+with hostile properties — minute spans at rounding boundaries, negative
+money values (refunds), duplicate timestamps, burst-then-silence gap
+patterns — writes them as parquet, and asserts the registered Spark
+builder and its registered DuckDB oracle still agree row-for-row.
+
+Reference basis: extends the reference's fixed-fixture differential
+suite (distributed/tests/test_collections.py) to generated fixtures.
+"""
+
+from __future__ import annotations
+
+import uuid
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dask_distributed_vanilla_spark.operators import events as ev_ops
+from dask_distributed_vanilla_spark.plans.canonical import canonical
+
+# Judged event operators whose semantics have engine-divergence surface:
+# minute-grid arithmetic (dispersion), log/entropy float math, variance
+# (zscore), median-of-deviations interpolation (mad), gap-boundary
+# sessionization, percentile clamping (winsorize).
+FUZZED_OPS = [
+    "e43_dispersion",
+    "e42_entropy",
+    "e21_zscore",
+    "e36_mad",
+    "e28_sessionize",
+    "e30_winsorize",
+]
+
+# Gap pool (seconds) chosen adversarially: fractions that land minute
+# spans near the .5 rounding boundary (the e43 bug class), exact minute
+# multiples, sub-second bursts, and session-breaking silences.
+GAP_POOL = [0.4, 29.7, 30.5, 59.5, 60.0, 60.49, 61.7, 89.5, 119.5, 1900.0, 3600.0]
+TYPES = ["click", "view", "error"]
+
+
+@st.composite
+def event_tables(draw):
+    n_users = draw(st.integers(min_value=3, max_value=6))
+    rows = []
+    eid = 0
+    for u in range(1, n_users + 1):
+        n = draw(st.integers(min_value=10, max_value=40))
+        t = 0.0
+        for _ in range(n):
+            gap = draw(st.sampled_from(GAP_POOL))
+            dup = draw(st.booleans())
+            t += 0.0 if dup and rows else gap
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(t, unit="s"),
+                    "user_id": u,
+                    "event_type": draw(st.sampled_from(TYPES)),
+                    # 2-decimal money incl. negatives (refunds) and the
+                    # x.005 display-rounding trap
+                    "value": round(
+                        draw(
+                            st.floats(
+                                min_value=-500.0,
+                                max_value=500.0,
+                                allow_nan=False,
+                                allow_infinity=False,
+                            )
+                        ),
+                        2,
+                    ),
+                    "props": '{"k": 1}',
+                }
+            )
+            eid += 1
+    df = pd.DataFrame(rows)
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    return df
+
+
+def _run_pair(spark, name: str, table: pd.DataFrame, tmp_root: Path):
+    d = tmp_root / f"fuzz_{uuid.uuid4().hex[:8]}"
+    d.mkdir()
+    table.to_parquet(d / "events.parquet")
+    sdf = ev_ops.QUERIES[name](spark, str(d)).toPandas()
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+        odf = con.execute(ev_ops.ORACLES[name]).fetchdf()
+    finally:
+        con.close()
+    s_schema, s_hash = canonical(sdf)
+    o_schema, o_hash = canonical(odf)
+    assert len(sdf) == len(odf), f"{name}: rows {len(sdf)} != {len(odf)}"
+    assert s_schema == o_schema, f"{name}: schema {s_schema} != {o_schema}"
+    assert s_hash == o_hash, (
+        f"{name}: value divergence on generated fixture\n"
+        f"spark:\n{sdf.to_string()}\noracle:\n{odf.to_string()}"
+    )
+
+
+@pytest.mark.parametrize("name", FUZZED_OPS)
+@given(table=event_tables())
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_generated_fixture_matches_oracle(spark, tmp_path_factory, name, table):
+    _run_pair(spark, name, table, tmp_path_factory.mktemp("fuzzfix"))
