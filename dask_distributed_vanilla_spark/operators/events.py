@@ -720,15 +720,23 @@ def e23_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-state tuples. Rounded to 3 decimals: both engines sum the
     same doubles, differing only in partial-sum order (relative error
     ~1e-15, far below the rounding grid).
+
+    Pearson is the guarded covar/NULLIF(sd·sd) closed form (e39's
+    contract): Spark 4's ANSI corr() builtin raises DIVIDE_BY_ZERO when
+    either marginal has zero variance — e.g. a cron-like type firing in
+    one fixed hour — where DuckDB's returns NULL.
     """
     ev = load_table(spark, sf_dir, "events")
     h = F.hour("ts").cast("double")
+    pearson = F.covar_samp("v", "h") / F.nullif(
+        F.stddev_samp("v") * F.stddev_samp("h"), F.lit(0.0)
+    )
     return (
         ev.select("event_type", F.col("value").alias("v"), h.alias("h"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.corr("v", "h"), 3).alias("corr_vh"),
+            F.round(pearson, 3).alias("corr_vh"),
             F.round(F.covar_samp("v", "h"), 3).alias("covar_vh"),
             F.round(F.stddev_samp("v"), 3).alias("sd_v"),
         )
@@ -738,7 +746,9 @@ def e23_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 E23_SQL = """
 SELECT event_type, COUNT(*) AS n,
-       ROUND(corr(value, CAST(hour(ts) AS DOUBLE)), 3) AS corr_vh,
+       ROUND(covar_samp(value, CAST(hour(ts) AS DOUBLE))
+             / NULLIF(stddev_samp(value) * stddev_samp(CAST(hour(ts) AS DOUBLE)), 0),
+             3) AS corr_vh,
        ROUND(covar_samp(value, CAST(hour(ts) AS DOUBLE)), 3) AS covar_vh,
        ROUND(stddev_samp(value), 3) AS sd_v
 FROM events GROUP BY 1 ORDER BY 1
@@ -1454,7 +1464,12 @@ def e37_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     wt = Window.partitionBy("event_type")
     wrun = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    d = (F.col("value") - F.avg("value").over(wt)) / F.stddev_samp("value").over(wt)
+    # NULLIF guard (e21's contract): a zero-variance type has no defined
+    # standardized deviation — it drops from the output on both engines
+    # instead of failing the job under ANSI division
+    d = (F.col("value") - F.avg("value").over(wt)) / F.nullif(
+        F.stddev_samp("value").over(wt), F.lit(0.0)
+    )
     scored = ev.select(
         "event_type", "ts", "event_id", F.sum(d).over(wrun).alias("s")
     ).withColumn("abs_s", F.abs(F.col("s")))
@@ -1476,7 +1491,7 @@ E37_SQL = """
 WITH dev AS (
   SELECT event_type, ts, event_id,
          (value - AVG(value) OVER (PARTITION BY event_type))
-           / STDDEV_SAMP(value) OVER (PARTITION BY event_type) AS d
+           / NULLIF(STDDEV_SAMP(value) OVER (PARTITION BY event_type), 0) AS d
   FROM events),
 scored AS (
   SELECT event_type, event_id,
@@ -1503,17 +1518,27 @@ def e39_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     one window for lag, then corr as a partial+final aggregate on the
     already-partitioned rows — no second exchange. Users below 20
     pairs are dropped (corr noise floor).
+
+    Pearson is spelled as covar/NULLIF(sd·sd) instead of the corr()
+    builtin: Spark 4's ANSI corr() raises DIVIDE_BY_ZERO on a
+    zero-variance group (one constant-value sensor would fail the whole
+    job — caught by the generated-fixture fuzz) where DuckDB's returns
+    NULL; the shared closed form makes both engines yield NULL there
+    and evaluate the identical float expression everywhere else.
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     lagged = ev.select(
         "user_id", "value", F.lag("value").over(w).alias("prev")
     ).where(F.col("prev").isNotNull())
+    pearson = F.covar_samp("value", "prev") / F.nullif(
+        F.stddev_samp("value") * F.stddev_samp("prev"), F.lit(0.0)
+    )
     return (
         lagged.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            (F.floor(F.corr("value", "prev") * 100 + F.lit(0.5)) / 100).alias("autocorr"),
+            (F.floor(pearson * 100 + F.lit(0.5)) / 100).alias("autocorr"),
         )
         .where(F.col("n_pairs") >= 20)
         .orderBy("user_id")
@@ -1525,7 +1550,10 @@ WITH lagged AS (
   SELECT user_id, value,
          LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
   FROM events)
-SELECT user_id, COUNT(*) AS n_pairs, FLOOR(CORR(value, prev) * 100 + 0.5) / 100 AS autocorr
+SELECT user_id, COUNT(*) AS n_pairs,
+       FLOOR(COVAR_SAMP(value, prev)
+             / NULLIF(STDDEV_SAMP(value) * STDDEV_SAMP(prev), 0) * 100 + 0.5) / 100
+         AS autocorr
 FROM lagged WHERE prev IS NOT NULL
 GROUP BY user_id HAVING COUNT(*) >= 20 ORDER BY user_id
 """

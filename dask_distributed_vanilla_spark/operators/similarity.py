@@ -57,7 +57,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("c_emb"),
         F.col("norm").alias("c_norm"),
     )
-    cos = dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+    cos = dot(F.col("q_emb"), F.col("c_emb")) / F.nullif(F.col("q_norm") * F.col("c_norm"), F.lit(0.0))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
         F.broadcast(q)
@@ -78,7 +78,7 @@ WITH e AS (
   FROM embeddings),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         list_dot_product(q.emb, c.emb) / (q.norm * c.norm) AS cos
+         list_dot_product(q.emb, c.emb) / NULLIF(q.norm * c.norm, 0) AS cos
   FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id),
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -120,7 +120,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm").alias("c_norm"),
         "bucket",
     )
-    cos = dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+    cos = dot(F.col("q_emb"), F.col("c_emb")) / F.nullif(F.col("q_norm") * F.col("c_norm"), F.lit(0.0))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
         q.join(c, "bucket")
@@ -146,7 +146,7 @@ WITH e AS (
 b AS (SELECT *, {bucket} AS bucket FROM e),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         list_dot_product(q.emb, c.emb) / (q.norm * c.norm) AS cos
+         list_dot_product(q.emb, c.emb) / NULLIF(q.norm * c.norm, 0) AS cos
   FROM b q JOIN b c ON q.bucket = c.bucket
   WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id),
 ranked AS (
@@ -242,9 +242,9 @@ WITH e AS (
                                CAST(embedding AS DOUBLE[]))) AS norm
   FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ROUND(list_dot_product(a.emb, b.emb) / (a.norm * b.norm), 2) AS cosine
+       ROUND(list_dot_product(a.emb, b.emb) / NULLIF(a.norm * b.norm, 0), 2) AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.emb, b.emb) / (a.norm * b.norm) >= 0.45
+WHERE list_dot_product(a.emb, b.emb) / NULLIF(a.norm * b.norm, 0) >= 0.45
 ORDER BY vec_a, vec_b
 """
 
@@ -286,7 +286,7 @@ def ivf_kmeans_search(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"),
         F.col("norm").alias("c_norm"), "list_id",
     )
-    cos = dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+    cos = dot(F.col("q_emb"), F.col("c_emb")) / F.nullif(F.col("q_norm") * F.col("c_norm"), F.lit(0.0))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
         probes.join(c, "list_id")
@@ -331,7 +331,7 @@ def ann_pq_search(
     unit = _with_norm(emb).select(
         "vec_id",
         F.transform(
-            F.col("embedding").cast("array<double>"), lambda x: x / F.col("norm")
+            F.col("embedding").cast("array<double>"), lambda x: x / F.nullif(F.col("norm"), F.lit(0.0))
         ).alias("u"),
     )
     for m in range(n_sub):
@@ -463,7 +463,7 @@ WHERE NOT EXISTS (
   SELECT 1 FROM e y
   WHERE y.label = x.label AND y.vec_id < x.vec_id
     AND list_dot_product(x.v, y.v)
-        / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
+        / NULLIF(sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)), 0)
         >= {tau})
 ORDER BY x.vec_id
 """
@@ -643,7 +643,7 @@ def ann_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("c_emb"),
         F.col("norm").alias("c_norm"),
     )
-    cos = dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+    cos = dot(F.col("q_emb"), F.col("c_emb")) / F.nullif(F.col("q_norm") * F.col("c_norm"), F.lit(0.0))
     wv = Window.partitionBy("query_id").orderBy(F.desc("cos"), "doc_id")
     vec_rank = (
         F.broadcast(q)
@@ -699,7 +699,7 @@ WITH e AS (
   FROM embeddings),
 vec AS (
   SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
-         list_dot_product(q.emb, c.emb) / (q.norm * c.norm) AS cos
+         list_dot_product(q.emb, c.emb) / NULLIF(q.norm * c.norm, 0) AS cos
   FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id),
 vecr AS (
   SELECT query_id, doc_id,
@@ -835,7 +835,7 @@ def emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "label",
             "vec_id",
-            (F.col("dot") / (F.col("vnorm") * F.col("cent_norm"))).alias("cos"),
+            (F.col("dot") / F.nullif(F.col("vnorm") * F.col("cent_norm"), F.lit(0.0))).alias("cos"),
         )
     )
     w = Window.partitionBy("label").orderBy(
@@ -864,7 +864,7 @@ dots AS (
   GROUP BY 1, 2),
 vn AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS vnorm FROM e),
 cos AS (
-  SELECT d.label, d.vec_id, d.dot / (vn.vnorm * cn.cent_norm) AS cos
+  SELECT d.label, d.vec_id, d.dot / NULLIF(vn.vnorm * cn.cent_norm, 0) AS cos
   FROM dots d JOIN vn USING (vec_id) JOIN cn USING (label)),
 ranked AS (
   SELECT label, vec_id, cos,

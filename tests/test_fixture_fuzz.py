@@ -41,6 +41,16 @@ FUZZED_OPS = [
     "e36_mad",
     "e28_sessionize",
     "e30_winsorize",
+    # round-2 additions: CUSUM standardization (zero-variance guard),
+    # TWAP (duplicate-timestamp zero-duration weights), autocorr
+    # (corr-of-constant NaN-vs-NULL surface), EWMA (order-dependent
+    # float recursion), seasonality, Mann-Whitney rank ties
+    "e37_cusum",
+    "e27_twap",
+    "e39_autocorr",
+    "e33_ewma",
+    "e34_seasonality",
+    "e41_mannwhitney",
 ]
 
 # Gap pool (seconds) chosen adversarially: fractions that land minute
@@ -120,3 +130,74 @@ def _run_pair(spark, name: str, table: pd.DataFrame, tmp_root: Path):
 )
 def test_generated_fixture_matches_oracle(spark, tmp_path_factory, name, table):
     _run_pair(spark, name, table, tmp_path_factory.mktemp("fuzzfix"))
+
+
+def test_zero_norm_embedding_does_not_crash_cosine(spark, tmp_path):
+    """Spark 4 runs ANSI mode: an unguarded cosine division crashes the
+    whole job the first time a zero embedding appears (a failed encoder
+    writes zeros — certain at corpus scale). The NULLIF-guarded form
+    must instead drop the undefined pair on both engines."""
+    import numpy as np
+
+    from dask_distributed_vanilla_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(3)
+    rows = [
+        {
+            "vec_id": i,
+            "embedding": (
+                np.zeros(8, dtype=np.float32)
+                if i == 17
+                else rng.random_sample(8).astype(np.float32)
+            ),
+            "label": i % 3,
+        }
+        for i in range(40)
+    ]
+    d = tmp_path / "zn"
+    d.mkdir()
+    pd.DataFrame(rows).to_parquet(d / "embeddings.parquet")
+    out = sim.ann_cosine_topk(spark, str(d)).toPandas()
+    assert len(out) > 0
+    # the zero vector has no defined cosine: never ranked as a neighbor
+    assert 17 not in set(out["neighbor_id"])
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'"
+        )
+        odf = con.execute(sim.ANN_COSINE_SQL).fetchdf()
+    finally:
+        con.close()
+    s_schema, s_hash = canonical(out)
+    o_schema, o_hash = canonical(odf)
+    assert (len(out), s_schema, s_hash) == (len(odf), o_schema, o_hash)
+
+
+def test_constant_value_user_does_not_crash_zscore_cusum(spark, tmp_path):
+    """The ANSI divide-by-zero class, batch operators: one bot-like user
+    (or event type) emitting a constant value must not fail z-score or
+    CUSUM — the degenerate group drops out on both engines."""
+    from dask_distributed_vanilla_spark.operators import events as ev_ops_mod
+
+    rows = []
+    for i in range(60):
+        rows.append(
+            {
+                "event_id": i,
+                "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(i * 61, unit="s"),
+                "user_id": i % 3,
+                # user 0 and event type "click" are entirely constant
+                "event_type": "click" if i % 3 == 0 else "view",
+                "value": 5.0 if i % 3 == 0 else float(i),
+                "props": '{"k": 1}',
+            }
+        )
+    t = pd.DataFrame(rows)
+    t["ts"] = t["ts"].astype("datetime64[us]")
+    d = tmp_path / "cv"
+    d.mkdir()
+    t.to_parquet(d / "events.parquet")
+    for name in ("e21_zscore", "e37_cusum", "e39_autocorr", "e23_corr"):
+        _run_pair(spark, name, t, tmp_path)
