@@ -858,7 +858,9 @@ def text_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     out = docs.mapInPandas(score, schema="doc_id long, n_bytes long, n_compressed long")
-    ratio = F.col("n_compressed") / F.col("n_bytes")
+    # NULLIF guard: an empty document has no defined ratio — it must not
+    # fail the job under ANSI division (zlib of b"" is 8 bytes, raw 0)
+    ratio = F.col("n_compressed") / F.nullif(F.col("n_bytes"), F.lit(0))
     return out.select(
         "doc_id",
         "n_bytes",

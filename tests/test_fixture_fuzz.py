@@ -201,3 +201,97 @@ def test_constant_value_user_does_not_crash_zscore_cusum(spark, tmp_path):
     t.to_parquet(d / "events.parquet")
     for name in ("e21_zscore", "e37_cusum", "e39_autocorr", "e23_corr"):
         _run_pair(spark, name, t, tmp_path)
+
+
+# ---------------------------------------------------------------------------
+# documents-table fuzz: hostile corpora for the text operators
+# ---------------------------------------------------------------------------
+
+from dask_distributed_vanilla_spark.operators import text as text_ops  # noqa: E402
+from dask_distributed_vanilla_spark.operators import dedup as dedup_ops  # noqa: E402
+
+WORD_POOL = [
+    "the", "spark", "join", "scan", "merge", "batch", "window", "stream",
+    "a", "of", "and", "to", "is", "data", "table", "sort",
+]
+HOSTILE_TEXTS = [
+    "",  # empty document
+    " ",  # whitespace only
+    "x",  # single char
+    "the the the the the the",  # pure repetition
+    "   leading and   multi   spaces ",
+]
+LANGS = ["en", "de", "fr", "es", "zh"]
+
+TEXT_FUZZED_OPS = [
+    ("text_stats", text_ops),
+    ("text_quality", text_ops),
+    ("text_token_regex", text_ops),
+    ("text_hapax_ratio", text_ops),
+    ("text_oov_rate", text_ops),
+    ("text_compress_ratio", text_ops),
+    ("dedup_exact", dedup_ops),
+]
+
+
+@st.composite
+def document_tables(draw):
+    n = draw(st.integers(min_value=8, max_value=25))
+    rows = []
+    for i in range(n):
+        hostile = draw(st.booleans())
+        if hostile:
+            text = draw(st.sampled_from(HOSTILE_TEXTS))
+        else:
+            k = draw(st.integers(min_value=1, max_value=30))
+            text = " ".join(
+                draw(st.sampled_from(WORD_POOL)) for _ in range(k)
+            )
+        # force at least one exact-duplicate pair into most corpora
+        if i == 1 and draw(st.booleans()):
+            text = rows[0]["text"]
+        rows.append(
+            {
+                "doc_id": i,
+                "text": text,
+                "lang": draw(st.sampled_from(LANGS)),
+                "source": f"src{i % 3}",
+                "n_chars": len(text),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def _run_doc_pair(spark, name: str, mod, table: pd.DataFrame, tmp_root: Path):
+    d = tmp_root / f"docfuzz_{uuid.uuid4().hex[:8]}"
+    d.mkdir()
+    table.to_parquet(d / "documents.parquet")
+    sdf = mod.QUERIES[name](spark, str(d)).toPandas()
+    oracle = mod.ORACLES.get(name)
+    if oracle is None:
+        return  # rows-only op: surviving without an exception IS the test
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+        odf = con.execute(oracle).fetchdf()
+    finally:
+        con.close()
+    s_schema, s_hash = canonical(sdf)
+    o_schema, o_hash = canonical(odf)
+    assert len(sdf) == len(odf), f"{name}: rows {len(sdf)} != {len(odf)}"
+    assert s_schema == o_schema, f"{name}: schema {s_schema} != {o_schema}"
+    assert s_hash == o_hash, (
+        f"{name}: value divergence on generated corpus\n"
+        f"spark:\n{sdf.to_string()}\noracle:\n{odf.to_string()}"
+    )
+
+
+@pytest.mark.parametrize("name,mod", TEXT_FUZZED_OPS, ids=[n for n, _ in TEXT_FUZZED_OPS])
+@given(table=document_tables())
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_generated_corpus_matches_oracle(spark, tmp_path_factory, name, mod, table):
+    _run_doc_pair(spark, name, mod, table, tmp_path_factory.mktemp("docfuzz"))
