@@ -252,18 +252,26 @@ def dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
     )
     width = (F.col("hi") - F.col("lo")) / DRIFT_BINS
+    # Degenerate grid (epoch-A values all equal → zero width, e.g. a
+    # constant health-check stream): every value lands in bin 0 on both
+    # engines via the explicit CASE, instead of Spark's ANSI division
+    # failing the job (caught by the generated-fixture fuzz).
     binned = (
         ev.join(F.broadcast(bounds), "event_type")
         .select(
             "event_type",
             epoch.alias("epoch"),
-            F.least(
-                F.lit(DRIFT_BINS - 1),
-                F.greatest(
-                    F.lit(0),
-                    F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
-                ),
-            ).alias("bin"),
+            F.when(F.col("hi") == F.col("lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(DRIFT_BINS - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
+                    ),
+                )
+            )
+            .alias("bin"),
         )
         .groupBy("event_type", "epoch", "bin")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -295,8 +303,10 @@ bounds AS (
   FROM ev WHERE epoch = 'a' GROUP BY 1),
 binned AS (
   SELECT ev.event_type, ev.epoch,
-         LEAST({DRIFT_BINS - 1}, GREATEST(0,
-           CAST(FLOOR((ev.value - b.lo) / ((b.hi - b.lo) / {DRIFT_BINS})) AS INT))) AS bin,
+         CASE WHEN b.hi = b.lo THEN 0
+              ELSE LEAST({DRIFT_BINS - 1}, GREATEST(0,
+                CAST(FLOOR((ev.value - b.lo) / ((b.hi - b.lo) / {DRIFT_BINS})) AS INT)))
+         END AS bin,
          COUNT(*) AS n
   FROM ev JOIN bounds b USING (event_type)
   GROUP BY 1, 2, 3),
@@ -398,9 +408,13 @@ def dq_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wt = Window.partitionBy("event_type")
     wrun = Window.partitionBy("event_type").orderBy("value")
+    # NULLIF guards: a type whose events all fall in ONE epoch has an
+    # empty opposite sample — KS D is undefined there and the type
+    # reports NULL on both engines instead of ANSI division failing the
+    # job (caught by the generated-fixture fuzz).
     gap = F.abs(
-        F.sum("ca").over(wrun) / F.sum("ca").over(wt)
-        - F.sum("cb").over(wrun) / F.sum("cb").over(wt)
+        F.sum("ca").over(wrun) / F.nullif(F.sum("ca").over(wt), F.lit(0))
+        - F.sum("cb").over(wrun) / F.nullif(F.sum("cb").over(wt), F.lit(0))
     )
     return (
         cell.select(
@@ -430,9 +444,9 @@ run AS (
          SUM(ca) OVER (PARTITION BY event_type) AS n_a,
          SUM(cb) OVER (PARTITION BY event_type) AS n_b,
          ABS(SUM(ca) OVER (PARTITION BY event_type ORDER BY value) * 1.0
-               / SUM(ca) OVER (PARTITION BY event_type)
+               / NULLIF(SUM(ca) OVER (PARTITION BY event_type), 0)
              - SUM(cb) OVER (PARTITION BY event_type ORDER BY value) * 1.0
-               / SUM(cb) OVER (PARTITION BY event_type)) AS gap
+               / NULLIF(SUM(cb) OVER (PARTITION BY event_type), 0)) AS gap
   FROM cell)
 SELECT event_type,
        CAST(MIN(n_a) AS BIGINT) AS n_first_half,

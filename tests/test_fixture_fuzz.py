@@ -29,6 +29,10 @@ from hypothesis import strategies as st
 
 from dask_distributed_vanilla_spark.operators import events as ev_ops
 from dask_distributed_vanilla_spark.plans.canonical import canonical
+from dask_distributed_vanilla_spark.plans.registry import all_oracles, all_queries
+
+REG_QUERIES = all_queries()
+REG_ORACLES = all_oracles()
 
 # Judged event operators whose semantics have engine-divergence surface:
 # minute-grid arithmetic (dispersion), log/entropy float math, variance
@@ -51,6 +55,11 @@ FUZZED_OPS = [
     "e33_ewma",
     "e34_seasonality",
     "e41_mannwhitney",
+    # data-quality family (events-only inputs): PSI/KS bin math with
+    # empty bins, Benford first-digit log ratios on hostile values
+    "dq_drift",
+    "dq_benford",
+    "dq_ks",
 ]
 
 # Gap pool (seconds) chosen adversarially: fractions that land minute
@@ -104,11 +113,11 @@ def _run_pair(spark, name: str, table: pd.DataFrame, tmp_root: Path):
     d = tmp_root / f"fuzz_{uuid.uuid4().hex[:8]}"
     d.mkdir()
     table.to_parquet(d / "events.parquet")
-    sdf = ev_ops.QUERIES[name](spark, str(d)).toPandas()
+    sdf = REG_QUERIES[name](spark, str(d)).toPandas()
     con = duckdb.connect()
     try:
         con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
-        odf = con.execute(ev_ops.ORACLES[name]).fetchdf()
+        odf = con.execute(REG_ORACLES[name]).fetchdf()
     finally:
         con.close()
     s_schema, s_hash = canonical(sdf)
