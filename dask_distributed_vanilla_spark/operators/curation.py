@@ -483,7 +483,10 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) + 1) / F.lit(
         4294967296.0
     )
-    priority = F.log(u) / F.col("n_chars")  # max u^(1/w) == max ln(u)/w
+    # NULLIF guard: a zero-length doc has zero weight (undefined
+    # priority) — it sorts NULLS LAST on both engines instead of the
+    # ANSI division failing the job
+    priority = F.log(u) / F.nullif(F.col("n_chars"), F.lit(0))  # max u^(1/w) == max ln(u)/w
     return (
         docs.select("doc_id", "lang", "n_chars", F.round(priority, 10).alias("pri"))
         .orderBy(F.desc("pri"), "doc_id")
@@ -494,9 +497,9 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 SAMPLE_WEIGHTED_SQL = f"""
 SELECT doc_id, lang, n_chars,
        ROUND(ln(((doc_id * 2654435761) % 4294967296 + 1) / 4294967296.0)
-             / n_chars, 10) AS pri
+             / NULLIF(n_chars, 0), 10) AS pri
 FROM documents
-ORDER BY pri DESC, doc_id
+ORDER BY pri DESC NULLS LAST, doc_id
 LIMIT {WEIGHTED_K}
 """
 

@@ -894,7 +894,9 @@ def e27_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("user_id", "value", dt.alias("dt"))
         .groupBy("user_id")
         .agg(
-            F.round(F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 2).alias("twap"),
+            # NULLIF: a user whose events all share one timestamp has zero
+            # total duration — TWAP is undefined (NULL), not a job failure
+            F.round(F.sum(F.col("value") * F.col("dt")) / F.nullif(F.sum("dt"), F.lit(0.0)), 2).alias("twap"),
             F.round(F.avg("value"), 2).alias("plain_avg"),
         )
         .orderBy("user_id")
@@ -909,7 +911,7 @@ WITH d AS (
               AS DOUBLE) AS dt
   FROM events)
 SELECT user_id,
-       ROUND(SUM(value * dt) / SUM(dt), 2) AS twap,
+       ROUND(SUM(value * dt) / NULLIF(SUM(dt), 0), 2) AS twap,
        ROUND(AVG(value), 2) AS plain_avg
 FROM d GROUP BY 1 ORDER BY 1
 """

@@ -132,7 +132,9 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_edges",
             "n_wedges",
             "n_triangles",
-            F.round(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 4).alias("gcc"),
+            # NULLIF: a wedge-free graph (all degrees <= 1) has an undefined
+            # clustering coefficient — NULL, not a job failure
+            F.round(F.lit(3.0) * F.col("n_triangles") / F.nullif(F.col("n_wedges"), F.lit(0)), 4).alias("gcc"),
         )
     )
     return summary
@@ -159,7 +161,7 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
        CAST(SUM(deg) / 2 AS BIGINT) AS n_edges,
        CAST(SUM(deg * (deg - 1)) / 2 AS BIGINT) AS n_wedges,
        CAST((SELECT n FROM tri) AS BIGINT) AS n_triangles,
-       ROUND(3.0 * (SELECT n FROM tri) / (SUM(deg * (deg - 1)) / 2), 4) AS gcc
+       ROUND(3.0 * (SELECT n FROM tri) / NULLIF(SUM(deg * (deg - 1)) / 2, 0), 4) AS gcc
 FROM deg
 """
 

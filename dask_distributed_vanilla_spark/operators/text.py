@@ -1020,7 +1020,9 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.log(F.col("c").cast("double")).alias("ly"),
     )
-    slope = F.covar_pop("lx", "ly") / F.var_pop("lx")
+    # NULLIF: a single-term vocabulary has zero rank variance — the
+    # slope is undefined (NULL), not a job failure
+    slope = F.covar_pop("lx", "ly") / F.nullif(F.var_pop("lx"), F.lit(0.0))
     return ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n_terms"),
         (F.floor(slope * 1000 + F.lit(0.5)) / 1000).alias("zipf_slope"),
@@ -1038,7 +1040,7 @@ ranked AS (
          ln(CAST(c AS DOUBLE)) AS ly
   FROM freq)
 SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
-       FLOOR(covar_pop(lx, ly) / var_pop(lx) * 1000 + 0.5) / 1000 AS zipf_slope
+       FLOOR(covar_pop(lx, ly) / NULLIF(var_pop(lx), 0) * 1000 + 0.5) / 1000 AS zipf_slope
 FROM ranked
 """
 

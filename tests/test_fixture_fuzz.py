@@ -240,6 +240,12 @@ TEXT_FUZZED_OPS = [
     ("text_oov_rate", text_ops),
     ("text_compress_ratio", text_ops),
     ("dedup_exact", dedup_ops),
+    # round-2 additions: ratio-heavy rankers and the weighted sampler
+    ("text_tfidf", text_ops),
+    ("text_bm25", text_ops),
+    ("text_zipf_slope", text_ops),
+    ("text_bigrams", text_ops),
+    ("text_unigram_logprob", text_ops),
 ]
 
 
