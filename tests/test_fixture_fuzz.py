@@ -310,3 +310,45 @@ def _run_doc_pair(spark, name: str, mod, table: pd.DataFrame, tmp_root: Path):
 )
 def test_generated_corpus_matches_oracle(spark, tmp_path_factory, name, mod, table):
     _run_doc_pair(spark, name, mod, table, tmp_path_factory.mktemp("docfuzz"))
+
+
+def test_stream_update_totals_with_refunds(spark, tmp_path):
+    """The round-3 advisor flagged that recovering per-user totals from
+    the update-mode memory sink via max(sv) silently corrupts results
+    when a negative value (refund) makes the running sum non-monotone —
+    undetectable on the all-positive fixture. This fixture forces large
+    refunds mid-stream and diffs against the batch oracle."""
+    from dask_distributed_vanilla_spark.streaming import events_stream as es
+
+    rows = []
+    for i in range(120):
+        rows.append(
+            {
+                "event_id": i,
+                "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(i * 40, unit="s"),
+                "user_id": i % 4,
+                "event_type": "purchase",
+                # big purchases early, large refunds late: every user's
+                # final total is LOWER than an intermediate one, so a
+                # max-based recovery picks the wrong update
+                "value": 100.0 if i < 60 else -90.0,
+                "props": '{"k": 1}',
+            }
+        )
+    t = pd.DataFrame(rows)
+    t["ts"] = t["ts"].astype("datetime64[us]")
+    d = tmp_path / "refunds"
+    d.mkdir()
+    t.to_parquet(d / "events.parquet")
+    sdf = es.stream_update_totals(spark, str(d)).toPandas()
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+        odf = con.execute(es.STREAM_UPDATE_TOTALS_SQL).fetchdf()
+    finally:
+        con.close()
+    s_schema, s_hash = canonical(sdf)
+    o_schema, o_hash = canonical(odf)
+    assert (len(sdf), s_schema, s_hash) == (len(odf), o_schema, o_hash), (
+        f"refund totals diverge\nspark:\n{sdf}\noracle:\n{odf}"
+    )
