@@ -246,6 +246,20 @@ TEXT_FUZZED_OPS = [
     ("text_zipf_slope", text_ops),
     ("text_bigrams", text_ops),
     ("text_unigram_logprob", text_ops),
+    # round-3 additions: the curation pipeline and the near-dup family
+    ("doc_chunks", None),
+    ("doc_pack", None),
+    ("redact_pii", None),
+    ("decontaminate", None),
+    ("doc_repetition", None),
+    ("sample_weighted", None),
+    ("source_templates", None),
+    ("source_overlap", None),
+    ("dedup_exact_normalized", dedup_ops),
+    ("dedup_ngram_jaccard", dedup_ops),
+    ("dedup_minhash_lsh", dedup_ops),
+    ("dedup_simhash", dedup_ops),
+    ("dedup_containment", dedup_ops),
 ]
 
 
@@ -281,8 +295,10 @@ def _run_doc_pair(spark, name: str, mod, table: pd.DataFrame, tmp_root: Path):
     d = tmp_root / f"docfuzz_{uuid.uuid4().hex[:8]}"
     d.mkdir()
     table.to_parquet(d / "documents.parquet")
-    sdf = mod.QUERIES[name](spark, str(d)).toPandas()
-    oracle = mod.ORACLES.get(name)
+    queries = mod.QUERIES if mod is not None else REG_QUERIES
+    oracles = mod.ORACLES if mod is not None else REG_ORACLES
+    sdf = queries[name](spark, str(d)).toPandas()
+    oracle = oracles.get(name)
     if oracle is None:
         return  # rows-only op: surviving without an exception IS the test
     con = duckdb.connect()
@@ -352,3 +368,77 @@ def test_stream_update_totals_with_refunds(spark, tmp_path):
     assert (len(sdf), s_schema, s_hash) == (len(odf), o_schema, o_hash), (
         f"refund totals diverge\nspark:\n{sdf}\noracle:\n{odf}"
     )
+
+
+# ---------------------------------------------------------------------------
+# customer-table fuzz: chain-structured names for the ER family
+# ---------------------------------------------------------------------------
+
+from dask_distributed_vanilla_spark.operators import er as er_ops  # noqa: E402
+
+SEGMENTS = ["BUILDING", "MACHINERY", "AUTOMOBILE"]
+
+
+def _chain_customers(n_chain: int, n_noise: int) -> pd.DataFrame:
+    """A name CHAIN c0-c1-...: consecutive names differ by ONE trailing
+    digit edit, so the d<=1 match graph is a PATH of diameter n_chain-1 —
+    the worst case for min-label propagation (the real fixture's
+    near-cliques converge in 2-3 rounds and never exercise loop depth).
+    Noise rows are far from everything."""
+    rows = []
+    for i in range(n_chain):
+        # prefix-growth: "ca", "cax", "caxx", ... — consecutive names
+        # are one INSERTION apart (d=1 edge) while k-step names are k
+        # edits apart, so the match graph is a genuine path (a clique of
+        # same-length digit variants would have diameter 1 and test
+        # nothing). Label propagation needs ~n_chain rounds here: the
+        # old fixed 8-round budget returns unconverged ids on this
+        # fixture; the fixpoint loop must not.
+        rows.append(
+            {
+                "c_custkey": i,
+                "c_name": "ca" + "x" * i,
+                "c_nationkey": i % 3,
+                "c_acctbal": float(100 + i),
+                "c_mktsegment": SEGMENTS[i % len(SEGMENTS)],
+            }
+        )
+    for j in range(n_noise):
+        rows.append(
+            {
+                "c_custkey": n_chain + j,
+                "c_name": f"zz-unique-{j}-{'x' * (j % 4)}",
+                "c_nationkey": j % 3,
+                "c_acctbal": float(j),
+                "c_mktsegment": SEGMENTS[j % len(SEGMENTS)],
+            }
+        )
+    return pd.DataFrame(rows).astype(
+        {"c_custkey": "int64", "c_nationkey": "int32", "c_acctbal": "float64"}
+    )
+
+
+def test_er_chain_graph_matches_oracle_and_converges(spark, tmp_path):
+    """Golden-record consolidation on a path-shaped match graph: the
+    min-label loop must reach fixpoint (not stop at a fixed budget) and
+    still agree with the recursive-CTE oracle; er_match_pairs agrees on
+    the full chain pair set."""
+    t = _chain_customers(n_chain=30, n_noise=20)
+    d = tmp_path / "er"
+    d.mkdir()
+    t.to_parquet(d / "customer.parquet")
+    for name in ("er_match_pairs", "er_golden_record"):
+        sdf = er_ops.QUERIES[name](spark, str(d)).toPandas()
+        con = duckdb.connect()
+        try:
+            con.execute(
+                f"CREATE VIEW customer AS SELECT * FROM '{d}/customer.parquet'"
+            )
+            odf = con.execute(er_ops.ORACLES[name]).fetchdf()
+        finally:
+            con.close()
+        s_schema, s_hash = canonical(sdf)
+        o_schema, o_hash = canonical(odf)
+        assert (len(sdf), s_schema, s_hash) == (len(odf), o_schema, o_hash), (
+            f"{name} diverges on chain graph\nspark:\n{sdf}\noracle:\n{odf}"
+        )
