@@ -7,6 +7,15 @@ disagree exactly on the .xx5 grid (e.g. 189/40: Spark 4.73, DuckDB
 constantly, so those operators round with an explicit half-up on the
 binary value — `floor(x*100 + 0.5)/100` — which every engine evaluates
 identically. SQL twin: `FLOOR(x*100 + 0.5)/100`.
+
+Round-4 finding (generated-fixture fuzz): 2-decimal money AVERAGES also
+land on the .xx5 grid (mean of 13.33 and 13.34 prints as 13.335 —
+Spark's string-rounding ROUND gives 13.34, DuckDB's binary-rounding
+13.33), caught live in e27_twap and fixed there. ~100 other
+`F.round`/`ROUND` display pairs remain on native rounding; they are
+green on the driver's stable fixtures, but a systematic migration to
+this helper (mirrored in each oracle) is the round-5 de-risking task —
+do it early in the round so the full gate re-verifies every query.
 """
 
 from __future__ import annotations

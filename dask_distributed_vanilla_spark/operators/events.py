@@ -896,8 +896,11 @@ def e27_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             # NULLIF: a user whose events all share one timestamp has zero
             # total duration — TWAP is undefined (NULL), not a job failure
-            F.round(F.sum(F.col("value") * F.col("dt")) / F.nullif(F.sum("dt"), F.lit(0.0)), 2).alias("twap"),
-            F.round(F.avg("value"), 2).alias("plain_avg"),
+            # engine-portable half-up (rounding.py doctrine): native ROUND
+            # diverges between engines on the .xx5 grid, which weighted
+            # means land on constantly (caught by the fixture fuzz)
+            (F.floor(F.sum(F.col("value") * F.col("dt")) / F.nullif(F.sum("dt"), F.lit(0.0)) * 100 + F.lit(0.5)) / 100).alias("twap"),
+            (F.floor(F.avg("value") * 100 + F.lit(0.5)) / 100).alias("plain_avg"),
         )
         .orderBy("user_id")
     )
@@ -911,8 +914,8 @@ WITH d AS (
               AS DOUBLE) AS dt
   FROM events)
 SELECT user_id,
-       ROUND(SUM(value * dt) / NULLIF(SUM(dt), 0), 2) AS twap,
-       ROUND(AVG(value), 2) AS plain_avg
+       FLOOR(SUM(value * dt) / NULLIF(SUM(dt), 0) * 100 + 0.5) / 100 AS twap,
+       FLOOR(AVG(value) * 100 + 0.5) / 100 AS plain_avg
 FROM d GROUP BY 1 ORDER BY 1
 """
 
