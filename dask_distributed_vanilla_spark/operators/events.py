@@ -28,14 +28,14 @@ def e1(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+        .agg(F.count(F.lit(1)).alias("n"), (F.floor((F.sum("value")) * 100 + F.lit(0.5)) / 100).alias("sv"))
         .orderBy("event_type", "w")
     )
 
 
 E1_SQL = """
 SELECT event_type, date_trunc('hour', ts) AS w,
-       COUNT(*) AS n, ROUND(SUM(value),2) AS sv
+       COUNT(*) AS n, FLOOR((SUM(value)) * 100 + 0.5) / 100 AS sv
 FROM events GROUP BY 1,2 ORDER BY 1,2
 """
 
@@ -45,14 +45,14 @@ def e2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id")
-        .agg(F.round(F.sum("value"), 2).alias("total"))
+        .agg((F.floor((F.sum("value")) * 100 + F.lit(0.5)) / 100).alias("total"))
         .orderBy(F.desc("total"), "user_id")
         .limit(10)
     )
 
 
 E2_SQL = """
-SELECT user_id, ROUND(SUM(value),2) AS total
+SELECT user_id, FLOOR((SUM(value)) * 100 + 0.5) / 100 AS total
 FROM events GROUP BY 1 ORDER BY total DESC, user_id LIMIT 10
 """
 
@@ -90,7 +90,7 @@ def e4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        ev.select("event_id", F.round(F.sum("value").over(w), 2).alias("run_total"))
+        ev.select("event_id", (F.floor((F.sum("value").over(w)) * 100 + F.lit(0.5)) / 100).alias("run_total"))
         .orderBy("event_id")
         .limit(1000)
     )
@@ -98,8 +98,8 @@ def e4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 E4_SQL = """
 SELECT event_id,
-       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING),2) AS run_total
+       FLOOR((SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING)) * 100 + 0.5) / 100 AS run_total
 FROM events ORDER BY event_id LIMIT 1000
 """
 
@@ -122,7 +122,7 @@ def e5(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("brk", brk)
         .withColumn("sid", F.sum("brk").over(run_w))
         .groupBy("user_id", "sid")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sv"))
+        .agg(F.count(F.lit(1)).alias("n_events"), (F.floor((F.sum("value")) * 100 + F.lit(0.5)) / 100).alias("sv"))
         .orderBy("user_id", "sid")
     )
 
@@ -138,7 +138,7 @@ s AS (
   SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
   FROM g)
-SELECT user_id, sid, COUNT(*) AS n_events, ROUND(SUM(value),2) AS sv
+SELECT user_id, sid, COUNT(*) AS n_events, FLOOR((SUM(value)) * 100 + 0.5) / 100 AS sv
 FROM s GROUP BY 1,2 ORDER BY 1,2
 """
 
@@ -215,13 +215,13 @@ def e8_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.withColumn("day", F.date_trunc("day", F.col("ts")))
         .rollup("event_type", "day")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+        .agg(F.count(F.lit(1)).alias("n"), (F.floor((F.sum("value")) * 100 + F.lit(0.5)) / 100).alias("sv"))
         .orderBy(F.col("event_type").asc_nulls_first(), F.col("day").asc_nulls_first())
     )
 
 
 E8_SQL = """
-SELECT event_type, day, COUNT(*) AS n, ROUND(SUM(value),2) AS sv
+SELECT event_type, day, COUNT(*) AS n, FLOOR((SUM(value)) * 100 + 0.5) / 100 AS sv
 FROM (SELECT event_type, date_trunc('day', ts) AS day, value FROM events)
 GROUP BY ROLLUP(event_type, day)
 ORDER BY event_type NULLS FIRST, day NULLS FIRST
@@ -238,9 +238,9 @@ def e10_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("event_type")
         .agg(
-            F.round(F.expr("percentile(value, 0.5)"), 2).alias("p50"),
-            F.round(F.expr("percentile(value, 0.9)"), 2).alias("p90"),
-            F.round(F.expr("percentile(value, 0.99)"), 2).alias("p99"),
+            (F.floor((F.expr("percentile(value, 0.5)")) * 100 + F.lit(0.5)) / 100).alias("p50"),
+            (F.floor((F.expr("percentile(value, 0.9)")) * 100 + F.lit(0.5)) / 100).alias("p90"),
+            (F.floor((F.expr("percentile(value, 0.99)")) * 100 + F.lit(0.5)) / 100).alias("p99"),
         )
         .orderBy("event_type")
     )
@@ -248,9 +248,9 @@ def e10_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 E10_SQL = """
 SELECT event_type,
-       ROUND(quantile_cont(value, 0.5), 2) AS p50,
-       ROUND(quantile_cont(value, 0.9), 2) AS p90,
-       ROUND(quantile_cont(value, 0.99), 2) AS p99
+       FLOOR((quantile_cont(value, 0.5)) * 100 + 0.5) / 100 AS p50,
+       FLOOR((quantile_cont(value, 0.9)) * 100 + 0.5) / 100 AS p90,
+       FLOOR((quantile_cont(value, 0.99)) * 100 + 0.5) / 100 AS p99
 FROM events GROUP BY 1 ORDER BY 1
 """
 
@@ -266,9 +266,9 @@ def e10_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("event_type")
         .agg(
-            F.round(F.expr("approx_percentile(value, 0.5, 10000)"), 2).alias("p50"),
-            F.round(F.expr("approx_percentile(value, 0.9, 10000)"), 2).alias("p90"),
-            F.round(F.expr("approx_percentile(value, 0.99, 10000)"), 2).alias("p99"),
+            (F.floor((F.expr("approx_percentile(value, 0.5, 10000)")) * 100 + F.lit(0.5)) / 100).alias("p50"),
+            (F.floor((F.expr("approx_percentile(value, 0.9, 10000)")) * 100 + F.lit(0.5)) / 100).alias("p90"),
+            (F.floor((F.expr("approx_percentile(value, 0.99, 10000)")) * 100 + F.lit(0.5)) / 100).alias("p99"),
         )
         .orderBy("event_type")
     )
@@ -330,7 +330,7 @@ def e13_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("day", F.date_trunc("day", F.col("ts")))
         .groupBy("day")
         .pivot("event_type", _EVENT_TYPES)
-        .agg(F.round(F.sum("value"), 2).alias("sv"), F.count(F.lit(1)).alias("n"))
+        .agg((F.floor((F.sum("value")) * 100 + F.lit(0.5)) / 100).alias("sv"), F.count(F.lit(1)).alias("n"))
     )
     # pivot names columns {value}_{agg}; a (day, type) cell with no rows is
     # NULL — coalesce the counts to 0 to match COUNT(CASE ...) semantics
@@ -353,7 +353,7 @@ SELECT date_trunc('day', ts) AS day,
 FROM events GROUP BY 1 ORDER BY 1
 """.format(
     cols=",\n       ".join(
-        f"ROUND(SUM(CASE WHEN event_type = '{t}' THEN value END), 2) AS sv_{t},\n"
+        f"FLOOR((SUM(CASE WHEN event_type = '{t}' THEN value END)) * 100 + 0.5) / 100 AS sv_{t},\n"
         f"       CAST(COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT) AS n_{t}"
         for t in _EVENT_TYPES
     )
@@ -370,7 +370,7 @@ def e14_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     agg = ev.groupBy("event_type").agg(
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        (F.floor((F.sum("value")) * 100 + F.lit(0.5)) / 100).alias("sum_value"),
         round2(F.avg("value")).alias("avg_value"),
         F.count(F.lit(1)).cast("double").alias("n_events"),
     )
@@ -382,7 +382,7 @@ def e14_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 E14_SQL = """
 WITH agg AS (
   SELECT event_type,
-         ROUND(SUM(value), 2) AS sum_value,
+         FLOOR((SUM(value)) * 100 + 0.5) / 100 AS sum_value,
          FLOOR(AVG(value) * 100 + 0.5) / 100 AS avg_value,
          CAST(COUNT(*) AS DOUBLE) AS n_events
   FROM events GROUP BY 1
@@ -410,7 +410,7 @@ def e15_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rangeBetween(-3_600_000_000, 0)
     )
     return (
-        ev.select("event_id", F.round(F.sum("value").over(w), 2).alias("trail_1h"))
+        ev.select("event_id", (F.floor((F.sum("value").over(w)) * 100 + F.lit(0.5)) / 100).alias("trail_1h"))
         .orderBy("event_id")
         .limit(1000)
     )
@@ -418,8 +418,8 @@ def e15_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 E15_SQL = """
 SELECT event_id,
-       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
-                              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),2)
+       FLOOR((SUM(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100
          AS trail_1h
 FROM events ORDER BY event_id LIMIT 1000
 """
@@ -444,7 +444,7 @@ def e16_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type", bucket.alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("sv"),
+            (F.floor((F.sum("value")) * 100 + F.lit(0.5)) / 100).alias("sv"),
         )
         .orderBy("event_type", "bucket")
     )
@@ -453,7 +453,7 @@ def e16_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 E16_SQL = f"""
 SELECT event_type,
        least(CAST(floor(value / {HIST_STEP}) AS BIGINT), {HIST_BUCKETS - 1}) AS bucket,
-       COUNT(*) AS n, ROUND(SUM(value), 2) AS sv
+       COUNT(*) AS n, FLOOR((SUM(value)) * 100 + 0.5) / 100 AS sv
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
@@ -472,7 +472,7 @@ def e17_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     totals = ev.groupBy("event_type", "user_id").agg(
-        F.round(F.sum("value"), 2).alias("total")
+        (F.floor((F.sum("value")) * 100 + F.lit(0.5)) / 100).alias("total")
     )
     w_tb = Window.partitionBy("event_type").orderBy(F.desc("total"), "user_id")
     w_tie = Window.partitionBy("event_type").orderBy(F.desc("total"))
@@ -494,7 +494,7 @@ def e17_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 E17_SQL = """
 WITH t AS (
-  SELECT event_type, user_id, ROUND(SUM(value),2) AS total
+  SELECT event_type, user_id, FLOOR((SUM(value)) * 100 + 0.5) / 100 AS total
   FROM events GROUP BY 1,2),
 r AS (
   SELECT event_type, user_id, total,
@@ -685,7 +685,7 @@ def e22_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("event_type").cast("int").alias("g_type"),
             F.grouping("dow").cast("int").alias("g_dow"),
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("sv"),
+            (F.floor((F.sum("value")) * 100 + F.lit(0.5)) / 100).alias("sv"),
         )
         .select("event_type", "dow", "g_type", "g_dow", "n", "sv")
         .orderBy(
@@ -701,7 +701,7 @@ E22_SQL = """
 SELECT event_type, dow,
        CAST(GROUPING(event_type) AS INT) AS g_type,
        CAST(GROUPING(dow) AS INT) AS g_dow,
-       COUNT(*) AS n, ROUND(SUM(value),2) AS sv
+       COUNT(*) AS n, FLOOR((SUM(value)) * 100 + 0.5) / 100 AS sv
 FROM (SELECT event_type, dayofweek(ts) + 1 AS dow, value FROM events)
 GROUP BY CUBE(event_type, dow)
 ORDER BY event_type NULLS FIRST, dow NULLS FIRST, g_type, g_dow
@@ -736,9 +736,9 @@ def e23_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(pearson, 3).alias("corr_vh"),
-            F.round(F.covar_samp("v", "h"), 3).alias("covar_vh"),
-            F.round(F.stddev_samp("v"), 3).alias("sd_v"),
+            (F.floor((pearson) * 1000 + F.lit(0.5)) / 1000).alias("corr_vh"),
+            (F.floor((F.covar_samp("v", "h")) * 1000 + F.lit(0.5)) / 1000).alias("covar_vh"),
+            (F.floor((F.stddev_samp("v")) * 1000 + F.lit(0.5)) / 1000).alias("sd_v"),
         )
         .orderBy("event_type")
     )
@@ -746,11 +746,10 @@ def e23_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 E23_SQL = """
 SELECT event_type, COUNT(*) AS n,
-       ROUND(covar_samp(value, CAST(hour(ts) AS DOUBLE))
-             / NULLIF(stddev_samp(value) * stddev_samp(CAST(hour(ts) AS DOUBLE)), 0),
-             3) AS corr_vh,
-       ROUND(covar_samp(value, CAST(hour(ts) AS DOUBLE)), 3) AS covar_vh,
-       ROUND(stddev_samp(value), 3) AS sd_v
+       FLOOR((covar_samp(value, CAST(hour(ts) AS DOUBLE))
+             / NULLIF(stddev_samp(value) * stddev_samp(CAST(hour(ts) AS DOUBLE)), 0)) * 1000 + 0.5) / 1000 AS corr_vh,
+       FLOOR((covar_samp(value, CAST(hour(ts) AS DOUBLE))) * 1000 + 0.5) / 1000 AS covar_vh,
+       FLOOR((stddev_samp(value)) * 1000 + 0.5) / 1000 AS sd_v
 FROM events GROUP BY 1 ORDER BY 1
 """
 
@@ -770,8 +769,8 @@ def e24_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.expr("regr_slope(y, x)"), 4).alias("slope"),
-            F.round(F.expr("regr_intercept(y, x)"), 4).alias("intercept"),
+            (F.floor((F.expr("regr_slope(y, x)")) * 10000 + F.lit(0.5)) / 10000).alias("slope"),
+            (F.floor((F.expr("regr_intercept(y, x)")) * 10000 + F.lit(0.5)) / 10000).alias("intercept"),
         )
         .orderBy("event_type")
     )
@@ -779,8 +778,8 @@ def e24_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 E24_SQL = """
 SELECT event_type, COUNT(*) AS n,
-       ROUND(regr_slope(value, CAST(dayofmonth(ts) AS DOUBLE)), 4) AS slope,
-       ROUND(regr_intercept(value, CAST(dayofmonth(ts) AS DOUBLE)), 4) AS intercept
+       FLOOR((regr_slope(value, CAST(dayofmonth(ts) AS DOUBLE))) * 10000 + 0.5) / 10000 AS slope,
+       FLOOR((regr_intercept(value, CAST(dayofmonth(ts) AS DOUBLE))) * 10000 + 0.5) / 10000 AS intercept
 FROM events GROUP BY 1 ORDER BY 1
 """
 
@@ -813,8 +812,8 @@ def e25_eqdepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.min("value"), 2).alias("lo"),
-            F.round(F.max("value"), 2).alias("hi"),
+            (F.floor((F.min("value")) * 100 + F.lit(0.5)) / 100).alias("lo"),
+            (F.floor((F.max("value")) * 100 + F.lit(0.5)) / 100).alias("hi"),
         )
         .orderBy("bucket")
     )
@@ -825,7 +824,7 @@ WITH bounds AS (
   SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
   FROM events)
 SELECT len(list_filter(bs, b -> value > b)) AS bucket,
-       COUNT(*) AS n, ROUND(MIN(value),2) AS lo, ROUND(MAX(value),2) AS hi
+       COUNT(*) AS n, FLOOR((MIN(value)) * 100 + 0.5) / 100 AS lo, FLOOR((MAX(value)) * 100 + 0.5) / 100 AS hi
 FROM events, bounds
 GROUP BY 1 ORDER BY 1
 """
@@ -998,7 +997,7 @@ def e29_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "src",
             "dst",
             "n",
-            F.round(F.col("n") / F.sum("n").over(wsrc), 4).alias("p"),
+            (F.floor((F.col("n") / F.sum("n").over(wsrc)) * 10000 + F.lit(0.5)) / 10000).alias("p"),
         )
         .orderBy("src", "dst")
     )
@@ -1010,7 +1009,7 @@ WITH nxt AS (
          LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
   FROM events)
 SELECT src, dst, COUNT(*) AS n,
-       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY src), 4) AS p
+       FLOOR((COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY src)) * 10000 + 0.5) / 10000 AS p
 FROM nxt WHERE dst IS NOT NULL GROUP BY 1,2 ORDER BY 1,2
 """
 
@@ -1041,8 +1040,8 @@ def e30_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         clipped.groupBy("event_type")
         .agg(
-            F.round(F.avg("value"), 4).alias("raw_mean"),
-            F.round(F.avg("wv"), 4).alias("winsor_mean"),
+            (F.floor((F.avg("value")) * 10000 + F.lit(0.5)) / 10000).alias("raw_mean"),
+            (F.floor((F.avg("wv")) * 10000 + F.lit(0.5)) / 10000).alias("winsor_mean"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("event_type")
@@ -1056,8 +1055,8 @@ WITH b AS (
          quantile_cont(value, 0.95) AS hi
   FROM events GROUP BY 1)
 SELECT e.event_type,
-       ROUND(AVG(e.value), 4) AS raw_mean,
-       ROUND(AVG(LEAST(GREATEST(e.value, b.lo), b.hi)), 4) AS winsor_mean,
+       FLOOR((AVG(e.value)) * 10000 + 0.5) / 10000 AS raw_mean,
+       FLOOR((AVG(LEAST(GREATEST(e.value, b.lo), b.hi))) * 10000 + 0.5) / 10000 AS winsor_mean,
        COUNT(*) AS n
 FROM events e JOIN b USING (event_type)
 GROUP BY 1 ORDER BY 1
@@ -1188,7 +1187,7 @@ def e32_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "d",
-            F.round(F.last("close", ignorenulls=True).over(wfill), 2).alias("filled"),
+            (F.floor((F.last("close", ignorenulls=True).over(wfill)) * 100 + F.lit(0.5)) / 100).alias("filled"),
             F.col("close").isNotNull().alias("observed"),
         )
         .orderBy("user_id", "d")
@@ -1209,9 +1208,9 @@ WITH span AS (
 ), closing AS (
   SELECT user_id, d, value AS close FROM ranked WHERE rn = 1)
 SELECT g.user_id, g.d,
-       ROUND(LAST_VALUE(c.close IGNORE NULLS) OVER (
+       FLOOR((LAST_VALUE(c.close IGNORE NULLS) OVER (
              PARTITION BY g.user_id ORDER BY g.d
-             ROWS UNBOUNDED PRECEDING), 2) AS filled,
+             ROWS UNBOUNDED PRECEDING)) * 100 + 0.5) / 100 AS filled,
        c.close IS NOT NULL AS observed
 FROM grid g LEFT JOIN closing c ON g.user_id = c.user_id AND g.d = c.d
 ORDER BY 1, 2
@@ -1269,7 +1268,7 @@ def e33_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         weighted.groupBy("user_id")
-        .agg(F.round(F.sum("wv") / F.sum("wt"), 4).alias("ewma"))
+        .agg((F.floor((F.sum("wv") / F.sum("wt")) * 10000 + F.lit(0.5)) / 10000).alias("ewma"))
         .orderBy("user_id")
     )
 
@@ -1280,7 +1279,7 @@ WITH r AS (
          POW(0.9, ROW_NUMBER() OVER (PARTITION BY user_id
                                      ORDER BY ts DESC, event_id DESC) - 1) AS wt
   FROM events)
-SELECT user_id, ROUND(SUM(value * wt) / SUM(wt), 4) AS ewma
+SELECT user_id, FLOOR((SUM(value * wt) / SUM(wt)) * 10000 + 0.5) / 10000 AS ewma
 FROM r GROUP BY 1 ORDER BY 1
 """
 
@@ -1298,7 +1297,7 @@ def e34_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            (F.floor((F.avg("value")) * 10000 + F.lit(0.5)) / 10000).alias("avg_value"),
         )
         .orderBy("dow", "hod")
     )
@@ -1306,7 +1305,7 @@ def e34_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 E34_SQL = """
 SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hod,
-       COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value
+       COUNT(*) AS n, FLOOR((AVG(value)) * 10000 + 0.5) / 10000 AS avg_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
@@ -1343,7 +1342,7 @@ def e35_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     arms = users.groupBy("arm").agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum("converted").alias("n_converted"),
-        F.round(F.avg("converted"), 4).alias("rate"),
+        (F.floor((F.avg("converted")) * 10000 + F.lit(0.5)) / 10000).alias("rate"),
     )
     a = arms.where(F.col("arm") == 0).select(
         F.col("n_users").alias("n0"),
@@ -1362,7 +1361,7 @@ def e35_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1e-12),
     )
     z = (F.col("c0") / F.col("n0") - F.col("c1") / F.col("n1")) / se
-    zstat = a.crossJoin(b).select(F.round(z, 4).alias("z_stat"))
+    zstat = a.crossJoin(b).select((F.floor((z) * 10000 + F.lit(0.5)) / 10000).alias("z_stat"))
     return arms.crossJoin(F.broadcast(zstat)).orderBy("arm")
 
 
@@ -1376,14 +1375,13 @@ users AS (
 arms AS (
   SELECT arm, COUNT(*) AS n_users,
          CAST(SUM(converted) AS BIGINT) AS n_converted,
-         ROUND(AVG(converted), 4) AS rate
+         FLOOR((AVG(converted)) * 10000 + 0.5) / 10000 AS rate
   FROM users GROUP BY arm),
 z AS (
-  SELECT ROUND(
-    (a.n_converted * 1.0 / a.n_users - b.n_converted * 1.0 / b.n_users) /
+  SELECT FLOOR(((a.n_converted * 1.0 / a.n_users - b.n_converted * 1.0 / b.n_users) /
     GREATEST(sqrt(((a.n_converted + b.n_converted) * 1.0 / (a.n_users + b.n_users)) *
          (1 - (a.n_converted + b.n_converted) * 1.0 / (a.n_users + b.n_users)) *
-         (1.0 / a.n_users + 1.0 / b.n_users)), 1e-12), 4) AS z_stat
+         (1.0 / a.n_users + 1.0 / b.n_users)), 1e-12)) * 10000 + 0.5) / 10000 AS z_stat
   FROM arms a, arms b WHERE a.arm = 0 AND b.arm = 1)
 SELECT arm, n_users, n_converted, rate, z.z_stat FROM arms, z ORDER BY arm
 """
@@ -1486,7 +1484,7 @@ def e37_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_peaks"),
             F.min("event_id").alias("peak_event_id"),
-            F.round(F.min("max_abs_s"), 2).alias("max_abs_s"),
+            (F.floor((F.min("max_abs_s")) * 100 + F.lit(0.5)) / 100).alias("max_abs_s"),
         )
         .orderBy("event_type")
     )
@@ -1508,7 +1506,7 @@ peaked AS (
   FROM scored)
 SELECT event_type, COUNT(*) AS n_peaks,
        MIN(event_id) AS peak_event_id,
-       ROUND(MIN(max_abs_s), 2) AS max_abs_s
+       FLOOR((MIN(max_abs_s)) * 100 + 0.5) / 100 AS max_abs_s
 FROM peaked WHERE abs_s = max_abs_s
 GROUP BY event_type ORDER BY event_type
 """
