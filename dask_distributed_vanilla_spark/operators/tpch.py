@@ -12,7 +12,7 @@ joins never shuffle the fact side on a dim key, and skewed keys are
 split by AQE.
 
 Oracle contract (SURVEY.md §5.4): every query carries a total ORDER BY,
-float aggregates are ROUND(x, 2) inside the query, every computed column
+float aggregates are FLOOR((x) * 100 + 0.5) / 100 inside the query, every computed column
 is aliased identically in the DataFrame plan and the DuckDB SQL. Year
 extractions are cast to long to match DuckDB's EXTRACT → BIGINT.
 
@@ -50,13 +50,13 @@ def a1(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.where(F.col("l_shipdate") < ts("1998-10-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 2).alias("avg_disc"),
+            (F.floor((F.sum("l_quantity")) * 100 + F.lit(0.5)) / 100).alias("sum_qty"),
+            (F.floor((F.sum("l_extendedprice")) * 100 + F.lit(0.5)) / 100).alias("sum_base_price"),
+            (F.floor((F.sum(disc_price)) * 100 + F.lit(0.5)) / 100).alias("sum_disc_price"),
+            (F.floor((F.sum(charge)) * 100 + F.lit(0.5)) / 100).alias("sum_charge"),
+            (F.floor((F.avg("l_quantity")) * 100 + F.lit(0.5)) / 100).alias("avg_qty"),
+            (F.floor((F.avg("l_extendedprice")) * 100 + F.lit(0.5)) / 100).alias("avg_price"),
+            (F.floor((F.avg("l_discount")) * 100 + F.lit(0.5)) / 100).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -65,13 +65,13 @@ def a1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 A1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity),2) AS sum_qty,
-       ROUND(SUM(l_extendedprice),2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-       ROUND(SUM(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
-       ROUND(AVG(l_quantity),2) AS avg_qty,
-       ROUND(AVG(l_extendedprice),2) AS avg_price,
-       ROUND(AVG(l_discount),2) AS avg_disc,
+       FLOOR((SUM(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
+       FLOOR((SUM(l_extendedprice)) * 100 + 0.5) / 100 AS sum_base_price,
+       FLOOR((SUM(l_extendedprice*(1-l_discount))) * 100 + 0.5) / 100 AS sum_disc_price,
+       FLOOR((SUM(l_extendedprice*(1-l_discount)*(1+l_tax))) * 100 + 0.5) / 100 AS sum_charge,
+       FLOOR((AVG(l_quantity)) * 100 + 0.5) / 100 AS avg_qty,
+       FLOOR((AVG(l_extendedprice)) * 100 + 0.5) / 100 AS avg_price,
+       FLOOR((AVG(l_discount)) * 100 + 0.5) / 100 AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate < DATE '1998-10-01'
@@ -96,7 +96,7 @@ def a3(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg((F.floor((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) * 100 + F.lit(0.5)) / 100).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -105,7 +105,7 @@ def a3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 A3_SQL = """
 SELECT l_orderkey,
-       ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS revenue,
+       FLOOR((SUM(l_extendedprice*(1-l_discount))) * 100 + 0.5) / 100 AS revenue,
        o_orderdate
 FROM customer
 JOIN orders   ON c_custkey=o_custkey
@@ -173,13 +173,13 @@ def a5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n, s.s_nationkey == n.n_nationkey)
         .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg((F.floor((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) * 100 + F.lit(0.5)) / 100).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
 
 A5_SQL = """
-SELECT n_name, ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS revenue
+SELECT n_name, FLOOR((SUM(l_extendedprice*(1-l_discount))) * 100 + 0.5) / 100 AS revenue
 FROM customer
 JOIN orders   ON c_custkey=o_custkey
 JOIN lineitem ON l_orderkey=o_orderkey
@@ -209,12 +209,12 @@ def a6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount").between(0.05, 0.07))
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg((F.floor((F.sum(F.col("l_extendedprice") * F.col("l_discount"))) * 100 + F.lit(0.5)) / 100).alias("revenue"))
     )
 
 
 A6_SQL = """
-SELECT ROUND(SUM(l_extendedprice*l_discount),2) AS revenue
+SELECT FLOOR((SUM(l_extendedprice*l_discount)) * 100 + 0.5) / 100 AS revenue
 FROM lineitem
 WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
@@ -258,13 +258,13 @@ def a7(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .agg((F.floor((F.sum("volume")) * 100 + F.lit(0.5)) / 100).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
 
 A7_SQL = """
-SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume),2) AS revenue
+SELECT supp_nation, cust_nation, l_year, FLOOR((SUM(volume)) * 100 + 0.5) / 100 AS revenue
 FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              EXTRACT(YEAR FROM l_shipdate) AS l_year,
              l_extendedprice*(1-l_discount) AS volume
@@ -328,7 +328,7 @@ def a8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 A8_SQL = """
 SELECT o_year,
-       ROUND(SUM(CASE WHEN nation='NATION_3' THEN volume ELSE 0 END)/SUM(volume),2) AS mkt_share
+       FLOOR((SUM(CASE WHEN nation='NATION_3' THEN volume ELSE 0 END)/SUM(volume)) * 100 + 0.5) / 100 AS mkt_share
 FROM (SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
              l_extendedprice*(1-l_discount) AS volume,
              n2.n_name AS nation
@@ -367,14 +367,14 @@ def a9(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .agg((F.floor((F.sum("amount")) * 100 + F.lit(0.5)) / 100).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
 
 A9_SQL = """
 SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
-       ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS sum_profit
+       FLOOR((SUM(l_extendedprice*(1-l_discount))) * 100 + 0.5) / 100 AS sum_profit
 FROM part
 JOIN lineitem ON p_partkey=l_partkey
 JOIN supplier ON l_suppkey=s_suppkey
@@ -399,7 +399,7 @@ def a10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(n, c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg((F.floor((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) * 100 + F.lit(0.5)) / 100).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
@@ -408,7 +408,7 @@ def a10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 A10_SQL = """
 SELECT c_custkey, c_name,
-       ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS revenue,
+       FLOOR((SUM(l_extendedprice*(1-l_discount))) * 100 + 0.5) / 100 AS revenue,
        c_acctbal, n_name
 FROM customer
 JOIN orders   ON c_custkey=o_custkey
@@ -473,9 +473,9 @@ def a14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 A14_SQL = """
-SELECT ROUND(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+SELECT FLOOR((100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'
                                THEN l_extendedprice*(1-l_discount) ELSE 0 END)
-             / SUM(l_extendedprice*(1-l_discount)), 2) AS promo_revenue
+             / SUM(l_extendedprice*(1-l_discount))) * 100 + 0.5) / 100 AS promo_revenue
 FROM lineitem JOIN part ON l_partkey=p_partkey
 WHERE l_shipdate >= DATE '1995-09-01' AND l_shipdate < DATE '1995-10-01'
 """
@@ -503,7 +503,7 @@ def a15(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(revenue, s.s_suppkey == revenue.supplier_no)
         .crossJoin(F.broadcast(max_rev))
         .where(F.col("total_revenue") == F.col("max_revenue"))
-        .select("s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue"))
+        .select("s_suppkey", "s_name", (F.floor((F.col("total_revenue")) * 100 + F.lit(0.5)) / 100).alias("total_revenue"))
         .orderBy("s_suppkey")
     )
 
@@ -515,7 +515,7 @@ WITH revenue AS (
   FROM lineitem
   WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
   GROUP BY 1)
-SELECT s_suppkey, s_name, ROUND(total_revenue,2) AS total_revenue
+SELECT s_suppkey, s_name, FLOOR((total_revenue) * 100 + 0.5) / 100 AS total_revenue
 FROM supplier JOIN revenue ON s_suppkey=supplier_no
 WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 ORDER BY s_suppkey
@@ -540,12 +540,12 @@ def a17(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(thresh, F.col("l_partkey") == F.col("t_partkey"))
         .where(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg((F.floor((F.sum("l_extendedprice") / 7.0) * 100 + F.lit(0.5)) / 100).alias("avg_yearly"))
     )
 
 
 A17_SQL = """
-SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT FLOOR((SUM(l_extendedprice) / 7.0) * 100 + 0.5) / 100 AS avg_yearly
 FROM lineitem JOIN part ON p_partkey=l_partkey
 WHERE p_brand='Brand#23'
   AND l_quantity < (SELECT 0.2*AVG(l2.l_quantity)
@@ -620,12 +620,12 @@ def a19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .where(band)
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg((F.floor((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) * 100 + F.lit(0.5)) / 100).alias("revenue"))
     )
 
 
 A19_SQL = """
-SELECT ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS revenue
+SELECT FLOOR((SUM(l_extendedprice*(1-l_discount))) * 100 + 0.5) / 100 AS revenue
 FROM lineitem JOIN part ON p_partkey=l_partkey
 WHERE (p_brand='Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
    OR (p_brand='Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
@@ -656,7 +656,7 @@ def a22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("cntrycode"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            (F.floor((F.sum("c_acctbal")) * 100 + F.lit(0.5)) / 100).alias("totacctbal"),
         )
         .orderBy("cntrycode")
     )
@@ -664,7 +664,7 @@ def a22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 A22_SQL = """
 SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
-       ROUND(SUM(c_acctbal),2) AS totacctbal
+       FLOOR((SUM(c_acctbal)) * 100 + 0.5) / 100 AS totacctbal
 FROM customer
 WHERE c_nationkey IN (13,31,23,29,30,18,17)
   AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer
@@ -693,7 +693,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("recency"),
         F.count(F.lit(1)).alias("frequency"),
-        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        (F.floor((F.sum("o_totalprice")) * 100 + F.lit(0.5)) / 100).alias("monetary"),
     )
     r5 = F.ntile(5).over(Window.orderBy(F.desc("recency"), "o_custkey"))
     f5 = F.ntile(5).over(Window.orderBy(F.desc("frequency"), "o_custkey"))
@@ -713,7 +713,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("monetary"), 2).alias("total_monetary"),
+            (F.floor((F.sum("monetary")) * 100 + F.lit(0.5)) / 100).alias("total_monetary"),
         )
         .orderBy("segment")
     )
@@ -722,7 +722,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 RFM_SQL = """
 WITH per_cust AS (
   SELECT o_custkey, MAX(o_orderdate) AS recency,
-         COUNT(*) AS frequency, ROUND(SUM(o_totalprice), 2) AS monetary
+         COUNT(*) AS frequency, FLOOR((SUM(o_totalprice)) * 100 + 0.5) / 100 AS monetary
   FROM orders GROUP BY 1),
 scored AS (
   SELECT o_custkey, monetary,
@@ -732,7 +732,7 @@ scored AS (
   FROM per_cust)
 SELECT CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS segment,
        COUNT(*) AS n_customers,
-       ROUND(SUM(monetary), 2) AS total_monetary
+       FLOOR((SUM(monetary)) * 100 + 0.5) / 100 AS total_monetary
 FROM scored GROUP BY 1 ORDER BY 1
 """
 
@@ -752,7 +752,7 @@ def orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("m")
+        (F.floor((F.sum("o_totalprice")) * 100 + F.lit(0.5)) / 100).alias("m")
     )
     w = Window.orderBy("m", "o_custkey")
     wt = Window.partitionBy()
@@ -789,7 +789,7 @@ def orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORDERS_PARETO_SQL = """
 WITH per_cust AS (
-  SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS m
+  SELECT o_custkey, FLOOR((SUM(o_totalprice)) * 100 + 0.5) / 100 AS m
   FROM orders GROUP BY 1),
 ranked AS (
   SELECT m,

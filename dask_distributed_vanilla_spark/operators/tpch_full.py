@@ -105,13 +105,13 @@ def b11(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_part.crossJoin(F.broadcast(threshold))
         .where(F.col("part_value") > F.col("threshold"))
-        .select("ps_partkey", F.round("part_value", 2).alias("value"))
+        .select("ps_partkey", (F.floor((F.col("part_value")) * 100 + F.lit(0.5)) / 100).alias("value"))
         .orderBy(F.desc("value"), "ps_partkey")
     )
 
 
 B11_SQL = """
-SELECT ps_partkey, ROUND(SUM(ps_supplycost * ps_availqty), 2) AS value
+SELECT ps_partkey, FLOOR((SUM(ps_supplycost * ps_availqty)) * 100 + 0.5) / 100 AS value
 FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 WHERE n_name = 'NATION_3'
@@ -319,7 +319,7 @@ def b3(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_shippriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg((F.floor((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) * 100 + F.lit(0.5)) / 100).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_shippriority")
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -327,7 +327,7 @@ def b3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 B3_SQL = """
-SELECT l_orderkey, ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS revenue,
+SELECT l_orderkey, FLOOR((SUM(l_extendedprice*(1-l_discount))) * 100 + 0.5) / 100 AS revenue,
        o_orderdate, o_shippriority
 FROM customer JOIN orders_x ON c_custkey=o_custkey
 JOIN lineitem ON l_orderkey=o_orderkey
@@ -394,14 +394,14 @@ def b9(spark: SparkSession, sf_dir: str) -> DataFrame:
             amount.alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .agg((F.floor((F.sum("amount")) * 100 + F.lit(0.5)) / 100).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
 
 B9_SQL = """
 SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
-       ROUND(SUM(l_extendedprice*(1-l_discount) - ps_supplycost*l_quantity),2) AS sum_profit
+       FLOOR((SUM(l_extendedprice*(1-l_discount) - ps_supplycost*l_quantity)) * 100 + 0.5) / 100 AS sum_profit
 FROM part
 JOIN lineitem ON p_partkey=l_partkey
 JOIN supplier ON l_suppkey=s_suppkey
@@ -429,7 +429,7 @@ def b10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "c_custkey", "c_name", "c_acctbal", "c_phone", "n_name", "c_address", "c_comment"
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg((F.floor((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) * 100 + F.lit(0.5)) / 100).alias("revenue"))
         .select(
             "c_custkey", "c_name", "revenue", "c_acctbal", "n_name",
             "c_address", "c_phone", "c_comment",
@@ -440,7 +440,7 @@ def b10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 B10_SQL = """
-SELECT c_custkey, c_name, ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS revenue,
+SELECT c_custkey, c_name, FLOOR((SUM(l_extendedprice*(1-l_discount))) * 100 + 0.5) / 100 AS revenue,
        c_acctbal, n_name, c_address, c_phone, c_comment
 FROM customer_x JOIN orders ON c_custkey=o_custkey
 JOIN lineitem ON l_orderkey=o_orderkey
@@ -505,7 +505,7 @@ def b15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey", "s_name", "s_address", "s_phone",
-            F.round("total_revenue", 2).alias("total_revenue"),
+            (F.floor((F.col("total_revenue")) * 100 + F.lit(0.5)) / 100).alias("total_revenue"),
         )
         .orderBy("s_suppkey")
     )
@@ -523,7 +523,7 @@ _B15_REVENUE = """
 # view is inlined as subqueries rather than a second (illegal) WITH.
 B15_SQL = f"""
 SELECT s_suppkey, s_name, s_address, s_phone,
-       ROUND(total_revenue, 2) AS total_revenue
+       FLOOR((total_revenue) * 100 + 0.5) / 100 AS total_revenue
 FROM supplier_x JOIN ({_B15_REVENUE}) revenue ON s_suppkey = supplier_no
 WHERE total_revenue = (SELECT MAX(total_revenue) FROM ({_B15_REVENUE}) r2)
 ORDER BY s_suppkey
@@ -551,12 +551,12 @@ def b17(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lp.join(avg_q, F.col("l_partkey") == F.col("a_partkey"))
         .where(F.col("l_quantity") < F.col("q_threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg((F.floor((F.sum("l_extendedprice") / 7.0) * 100 + F.lit(0.5)) / 100).alias("avg_yearly"))
     )
 
 
 B17_SQL = """
-SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT FLOOR((SUM(l_extendedprice) / 7.0) * 100 + 0.5) / 100 AS avg_yearly
 FROM lineitem JOIN part_x ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#23' AND p_container = 'MED BOX'
   AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
@@ -596,12 +596,12 @@ def b19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .where(band)
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg((F.floor((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) * 100 + F.lit(0.5)) / 100).alias("revenue"))
     )
 
 
 B19_SQL = """
-SELECT ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS revenue
+SELECT FLOOR((SUM(l_extendedprice*(1-l_discount))) * 100 + 0.5) / 100 AS revenue
 FROM lineitem_x JOIN part_x ON p_partkey=l_partkey
 WHERE l_shipmode IN ('AIR','AIR REG') AND l_shipinstruct='DELIVER IN PERSON'
   AND ((p_brand='Brand#12' AND p_container IN ('SM CASE','SM BOX','SM PACK','SM PKG')
@@ -632,14 +632,14 @@ def b22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c_acctbal") > F.col("avg_acctbal"))
         .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
         .groupBy("cntrycode")
-        .agg(F.count(F.lit(1)).alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+        .agg(F.count(F.lit(1)).alias("numcust"), (F.floor((F.sum("c_acctbal")) * 100 + F.lit(0.5)) / 100).alias("totacctbal"))
         .orderBy("cntrycode")
     )
 
 
 B22_SQL = f"""
 SELECT substring(c_phone, 1, 2) AS cntrycode, COUNT(*) AS numcust,
-       ROUND(SUM(c_acctbal),2) AS totacctbal
+       FLOOR((SUM(c_acctbal)) * 100 + 0.5) / 100 AS totacctbal
 FROM customer_x
 WHERE substring(c_phone, 1, 2) IN ({", ".join(f"'{c}'" for c in _B22_CODES)})
   AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer_x
@@ -666,13 +666,13 @@ def b1(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.where(F.col("l_shipdate") <= ts("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 2).alias("avg_disc"),
+            (F.floor((F.sum("l_quantity")) * 100 + F.lit(0.5)) / 100).alias("sum_qty"),
+            (F.floor((F.sum("l_extendedprice")) * 100 + F.lit(0.5)) / 100).alias("sum_base_price"),
+            (F.floor((F.sum(disc_price)) * 100 + F.lit(0.5)) / 100).alias("sum_disc_price"),
+            (F.floor((F.sum(charge)) * 100 + F.lit(0.5)) / 100).alias("sum_charge"),
+            (F.floor((F.avg("l_quantity")) * 100 + F.lit(0.5)) / 100).alias("avg_qty"),
+            (F.floor((F.avg("l_extendedprice")) * 100 + F.lit(0.5)) / 100).alias("avg_price"),
+            (F.floor((F.avg("l_discount")) * 100 + F.lit(0.5)) / 100).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -681,13 +681,13 @@ def b1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 B1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity),2) AS sum_qty,
-       ROUND(SUM(l_extendedprice),2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-       ROUND(SUM(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
-       ROUND(AVG(l_quantity),2) AS avg_qty,
-       ROUND(AVG(l_extendedprice),2) AS avg_price,
-       ROUND(AVG(l_discount),2) AS avg_disc,
+       FLOOR((SUM(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
+       FLOOR((SUM(l_extendedprice)) * 100 + 0.5) / 100 AS sum_base_price,
+       FLOOR((SUM(l_extendedprice*(1-l_discount))) * 100 + 0.5) / 100 AS sum_disc_price,
+       FLOOR((SUM(l_extendedprice*(1-l_discount)*(1+l_tax))) * 100 + 0.5) / 100 AS sum_charge,
+       FLOOR((AVG(l_quantity)) * 100 + 0.5) / 100 AS avg_qty,
+       FLOOR((AVG(l_extendedprice)) * 100 + 0.5) / 100 AS avg_price,
+       FLOOR((AVG(l_discount)) * 100 + 0.5) / 100 AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= DATE '1998-09-02'
@@ -719,13 +719,13 @@ def b5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n, s.s_nationkey == n.n_nationkey)
         .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg((F.floor((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) * 100 + F.lit(0.5)) / 100).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
 
 B5_SQL = """
-SELECT n_name, ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS revenue
+SELECT n_name, FLOOR((SUM(l_extendedprice*(1-l_discount))) * 100 + 0.5) / 100 AS revenue
 FROM customer
 JOIN orders   ON c_custkey=o_custkey
 JOIN lineitem ON l_orderkey=o_orderkey
@@ -752,12 +752,12 @@ def b6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg((F.floor((F.sum(F.col("l_extendedprice") * F.col("l_discount"))) * 100 + F.lit(0.5)) / 100).alias("revenue"))
     )
 
 
 B6_SQL = """
-SELECT ROUND(SUM(l_extendedprice*l_discount),2) AS revenue
+SELECT FLOOR((SUM(l_extendedprice*l_discount)) * 100 + 0.5) / 100 AS revenue
 FROM lineitem
 WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
@@ -799,13 +799,13 @@ def b7(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .agg((F.floor((F.sum("volume")) * 100 + F.lit(0.5)) / 100).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
 
 B7_SQL = """
-SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume),2) AS revenue
+SELECT supp_nation, cust_nation, l_year, FLOOR((SUM(volume)) * 100 + 0.5) / 100 AS revenue
 FROM (SELECT n1.n_name supp_nation, n2.n_name cust_nation,
              EXTRACT(YEAR FROM l_shipdate) l_year,
              l_extendedprice*(1-l_discount) volume
@@ -866,7 +866,7 @@ def b8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 B8_SQL = """
 SELECT o_year,
-       ROUND(SUM(CASE WHEN nation='NATION_5' THEN volume ELSE 0 END)/SUM(volume),2) AS mkt_share
+       FLOOR((SUM(CASE WHEN nation='NATION_5' THEN volume ELSE 0 END)/SUM(volume)) * 100 + 0.5) / 100 AS mkt_share
 FROM (SELECT EXTRACT(YEAR FROM o_orderdate) o_year,
              l_extendedprice*(1-l_discount) volume,
              n2.n_name nation
@@ -909,8 +909,8 @@ def b14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 B14_SQL = """
-SELECT ROUND(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice*(1-l_discount) ELSE 0 END)
-             / SUM(l_extendedprice*(1-l_discount)), 2) AS promo_revenue
+SELECT FLOOR((100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice*(1-l_discount) ELSE 0 END)
+             / SUM(l_extendedprice*(1-l_discount))) * 100 + 0.5) / 100 AS promo_revenue
 FROM lineitem JOIN part ON l_partkey=p_partkey
 WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-04-01'
 """
