@@ -92,7 +92,7 @@ def e9_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "user_id",
             F.col("asof_p_event_id").alias("last_purchase_id"),
-            F.round("asof_p_value", 2).alias("last_purchase_value"),
+            (F.floor((F.col("asof_p_value")) * 100 + F.lit(0.5)) / 100).alias("last_purchase_value"),
         )
         .orderBy("event_id")
         .limit(1000)
@@ -119,7 +119,7 @@ carried AS (
             ROWS UNBOUNDED PRECEDING) AS a
   FROM merged)
 SELECT event_id, user_id, a.pe AS last_purchase_id,
-       ROUND(a.pv, 2) AS last_purchase_value
+       FLOOR((a.pv) * 100 + 0.5) / 100 AS last_purchase_value
 FROM carried WHERE side = 1
 ORDER BY event_id LIMIT 1000
 """

@@ -488,7 +488,7 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ANSI division failing the job
     priority = F.log(u) / F.nullif(F.col("n_chars"), F.lit(0))  # max u^(1/w) == max ln(u)/w
     return (
-        docs.select("doc_id", "lang", "n_chars", F.round(priority, 10).alias("pri"))
+        docs.select("doc_id", "lang", "n_chars", (F.floor((priority) * 10000000000 + F.lit(0.5)) / 10000000000).alias("pri"))
         .orderBy(F.desc("pri"), "doc_id")
         .limit(WEIGHTED_K)
     )
@@ -496,8 +496,8 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SAMPLE_WEIGHTED_SQL = f"""
 SELECT doc_id, lang, n_chars,
-       ROUND(ln(((doc_id * 2654435761) % 4294967296 + 1) / 4294967296.0)
-             / NULLIF(n_chars, 0), 10) AS pri
+       FLOOR((ln(((doc_id * 2654435761) % 4294967296 + 1) / 4294967296.0)
+             / NULLIF(n_chars, 0)) * 10000000000 + 0.5) / 10000000000 AS pri
 FROM documents
 ORDER BY pri DESC NULLS LAST, doc_id
 LIMIT {WEIGHTED_K}

@@ -265,7 +265,7 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("label").alias("cluster_id"))
         .agg(
             F.count(F.lit(1)).alias("n_members"),
-            F.round(F.max("c_acctbal"), 2).alias("max_acctbal"),
+            (F.floor((F.max("c_acctbal")) * 100 + F.lit(0.5)) / 100).alias("max_acctbal"),
         )
         .where(F.col("n_members") >= 2)
     )
@@ -358,7 +358,7 @@ reach(node, label) AS (
 labels AS (SELECT node AS c_custkey, MIN(label) AS cluster_id FROM reach GROUP BY 1),
 g AS (
   SELECT l.cluster_id, COUNT(*) AS n_members,
-         ROUND(MAX(c.c_acctbal), 2) AS max_acctbal
+         FLOOR((MAX(c.c_acctbal)) * 100 + 0.5) / 100 AS max_acctbal
   FROM labels l JOIN customer c USING (c_custkey)
   GROUP BY 1 HAVING COUNT(*) >= 2)
 SELECT g.cluster_id, g.n_members, cc.c_name AS canonical_name, g.max_acctbal

@@ -134,7 +134,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_triangles",
             # NULLIF: a wedge-free graph (all degrees <= 1) has an undefined
             # clustering coefficient — NULL, not a job failure
-            F.round(F.lit(3.0) * F.col("n_triangles") / F.nullif(F.col("n_wedges"), F.lit(0)), 4).alias("gcc"),
+            (F.floor((F.lit(3.0) * F.col("n_triangles") / F.nullif(F.col("n_wedges"), F.lit(0))) * 10000 + F.lit(0.5)) / 10000).alias("gcc"),
         )
     )
     return summary
@@ -161,7 +161,7 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
        CAST(SUM(deg) / 2 AS BIGINT) AS n_edges,
        CAST(SUM(deg * (deg - 1)) / 2 AS BIGINT) AS n_wedges,
        CAST((SELECT n FROM tri) AS BIGINT) AS n_triangles,
-       ROUND(3.0 * (SELECT n FROM tri) / NULLIF(SUM(deg * (deg - 1)) / 2, 0), 4) AS gcc
+       FLOOR((3.0 * (SELECT n FROM tri) / NULLIF(SUM(deg * (deg - 1)) / 2, 0)) * 10000 + 0.5) / 10000 AS gcc
 FROM deg
 """
 
@@ -202,7 +202,7 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(F.broadcast(sa), "type_a")
         .join(F.broadcast(sb), "type_b")
-        .select("type_a", "type_b", "n_ab", F.round(lift, 3).alias("lift"))
+        .select("type_a", "type_b", "n_ab", (F.floor((lift) * 1000 + F.lit(0.5)) / 1000).alias("lift"))
         .orderBy("type_a", "type_b")
     )
 
@@ -220,7 +220,7 @@ pairs AS (
   FROM baskets a JOIN baskets b ON a.cust = b.cust AND a.t < b.t
   GROUP BY 1, 2)
 SELECT type_a, type_b, n_ab,
-       ROUND(n_ab * 1.0 * n_cust / (sa.n * sb.n), 3) AS lift
+       FLOOR((n_ab * 1.0 * n_cust / (sa.n * sb.n)) * 1000 + 0.5) / 1000 AS lift
 FROM pairs
 JOIN supp sa ON sa.t = type_a
 JOIN supp sb ON sb.t = type_b, n
@@ -345,7 +345,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return ranks.select(
         F.col("id").alias("user_id"),
-        F.round(F.col("r") * F.col("n"), 4).alias("pr"),
+        (F.floor((F.col("r") * F.col("n")) * 10000 + F.lit(0.5)) / 10000).alias("pr"),
     ).orderBy("user_id")
 
 
@@ -377,7 +377,7 @@ it{k} AS (SELECT nodes.id,
     return (
         base
         + """
-SELECT id AS user_id, ROUND(r * (SELECT n FROM nn), 4) AS pr
+SELECT id AS user_id, FLOOR((r * (SELECT n FROM nn)) * 10000 + 0.5) / 10000 AS pr
 FROM it5 ORDER BY 1
 """
     )

@@ -39,7 +39,7 @@ def _latest_state(ev: DataFrame) -> DataFrame:
     return (
         ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("user_id", F.round("value", 2).alias("value"), "ts")
+        .select("user_id", (F.floor((F.col("value")) * 100 + F.lit(0.5)) / 100).alias("value"), "ts")
     )
 
 
@@ -77,7 +77,7 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MERGE_UPSERT_SQL = f"""
 WITH ranked AS (
-  SELECT user_id, ROUND(value, 2) AS value, ts,
+  SELECT user_id, FLOOR((value) * 100 + 0.5) / 100 AS value, ts,
          CASE WHEN ts < TIMESTAMP '{MERGE_SPLIT}' THEN 't' ELSE 's' END AS side,
          ROW_NUMBER() OVER (
            PARTITION BY user_id,
@@ -186,7 +186,7 @@ def _window_state(ev: DataFrame, lo: str, hi: str) -> DataFrame:
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("user_id", F.round("value", 2).alias("value"))
+        .select("user_id", (F.floor((F.col("value")) * 100 + F.lit(0.5)) / 100).alias("value"))
     )
 
 
@@ -224,7 +224,7 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SNAPSHOT_DIFF_SQL = f"""
 WITH ranked AS (
-  SELECT user_id, ROUND(value, 2) AS value, ts, event_id,
+  SELECT user_id, FLOOR((value) * 100 + 0.5) / 100 AS value, ts, event_id,
          CASE WHEN ts >= TIMESTAMP '{DIFF_W1[0]}' AND ts < TIMESTAMP '{DIFF_W1[1]}'
               THEN 'a' ELSE 'b' END AS side
   FROM events
@@ -289,7 +289,7 @@ def tpch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     audit_o = new_orders.agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("price_checksum"),
+        (F.floor((F.sum("o_totalprice")) * 100 + F.lit(0.5)) / 100).alias("price_checksum"),
     )
     audit_l = new_li.agg(F.count(F.lit(1)).alias("n_lineitems"))
     return audit_o.crossJoin(audit_l).select(
@@ -309,7 +309,7 @@ new_li AS (
                     WHERE o.o_orderkey = l.l_orderkey AND o.o_orderkey % 97 = 0))
 SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM new_orders) AS n_orders,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM new_li) AS n_lineitems,
-       (SELECT ROUND(SUM(o_totalprice), 2) FROM new_orders) AS price_checksum
+       (SELECT FLOOR((SUM(o_totalprice)) * 100 + 0.5) / 100 FROM new_orders) AS price_checksum
 """
 
 

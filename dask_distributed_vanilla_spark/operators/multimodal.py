@@ -295,8 +295,8 @@ def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_samples",
         "n_windows",
-        F.round("mean_rms", 2).alias("mean_rms"),
-        F.round("peak_rms", 2).alias("peak_rms"),
+        (F.floor((F.col("mean_rms")) * 100 + F.lit(0.5)) / 100).alias("mean_rms"),
+        (F.floor((F.col("peak_rms")) * 100 + F.lit(0.5)) / 100).alias("peak_rms"),
     ).orderBy("doc_id")
 
 
@@ -317,8 +317,8 @@ agg AS (SELECT doc_id, COUNT(*) AS n_windows, AVG(rms) AS mean_rms,
         FROM r GROUP BY 1)
 SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_samples,
        CAST(COALESCE(a.n_windows, 0) AS BIGINT) AS n_windows,
-       ROUND(COALESCE(a.mean_rms, 0.0), 2) AS mean_rms,
-       ROUND(COALESCE(a.peak_rms, 0.0), 2) AS peak_rms
+       FLOOR((COALESCE(a.mean_rms, 0.0)) * 100 + 0.5) / 100 AS mean_rms,
+       FLOOR((COALESCE(a.peak_rms, 0.0)) * 100 + 0.5) / 100 AS peak_rms
 FROM t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id
 """
 

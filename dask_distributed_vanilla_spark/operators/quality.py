@@ -288,7 +288,7 @@ def dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, ["event_type", "bin"])
         .groupBy("event_type")
-        .agg(F.round(F.sum(F.col("pa") * F.log(F.col("pa") / F.col("pb"))), 6).alias("kl"))
+        .agg((F.floor((F.sum(F.col("pa") * F.log(F.col("pa") / F.col("pb")))) * 1000000 + F.lit(0.5)) / 1000000).alias("kl"))
         .orderBy("event_type")
     )
 
@@ -314,7 +314,7 @@ probs AS (
   SELECT event_type, epoch, bin,
          (n + 1.0) / (SUM(n) OVER (PARTITION BY event_type, epoch) + {DRIFT_BINS}) AS p
   FROM binned)
-SELECT a.event_type, ROUND(SUM(a.p * ln(a.p / b.p)), 6) AS kl
+SELECT a.event_type, FLOOR((SUM(a.p * ln(a.p / b.p))) * 1000000 + 0.5) / 1000000 AS kl
 FROM probs a JOIN probs b ON a.event_type = b.event_type AND a.bin = b.bin
 WHERE a.epoch = 'a' AND b.epoch = 'b'
 GROUP BY 1 ORDER BY 1
@@ -345,7 +345,7 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     wt = Window.partitionBy("event_type")
     share = F.col("n") / F.sum("n").over(wt)
     expected = F.element_at(
-        F.array(*[F.lit(round(math.log10(1 + 1 / d), 4)) for d in range(1, 10)]),
+        F.array(*[F.lit(math.floor(math.log10(1 + 1 / d) * 10000 + 0.5) / 10000) for d in range(1, 10)]),
         F.col("digit"),
     )
     return (
@@ -369,7 +369,7 @@ cell AS (
          CAST(regexp_extract(CAST(value AS VARCHAR), '[1-9]') AS INT) AS digit,
          COUNT(*) AS n
   FROM pos GROUP BY 1, 2),
-exp AS (SELECT d AS digit, round(log10(1 + 1.0/d), 4) AS expected
+exp AS (SELECT d AS digit, FLOOR((log10(1 + 1.0/d)) * 10000 + 0.5) / 10000 AS expected
         FROM generate_series(1, 9) t(d))
 SELECT c.event_type, c.digit, c.n,
        CAST(FLOOR(c.n * 100.0 / SUM(c.n) OVER (PARTITION BY c.event_type) + 0.5) AS DOUBLE) AS share_pct,

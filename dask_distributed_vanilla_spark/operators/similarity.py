@@ -24,6 +24,8 @@ the difference between O(n·k) and O(n²) norm folds.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -65,7 +67,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos", cos)
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", "neighbor_id", F.round("cos", 2).alias("cosine"))
+        .select("query_id", "rank", "neighbor_id", (F.floor((F.col("cos")) * 100 + F.lit(0.5)) / 100).alias("cosine"))
         .orderBy("query_id", "rank")
     )
 
@@ -84,7 +86,7 @@ ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY cos DESC, neighbor_id) AS rank
   FROM scored)
-SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, ROUND(cos, 2) AS cosine
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, FLOOR((cos) * 100 + 0.5) / 100 AS cosine
 FROM ranked WHERE rank <= {TOP_K}
 ORDER BY query_id, rank
 """
@@ -128,7 +130,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos", cos)
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", "neighbor_id", F.round("cos", 2).alias("cosine"))
+        .select("query_id", "rank", "neighbor_id", (F.floor((F.col("cos")) * 100 + F.lit(0.5)) / 100).alias("cosine"))
         .orderBy("query_id", "rank")
     )
 
@@ -153,7 +155,7 @@ ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY cos DESC, neighbor_id) AS rank
   FROM scored)
-SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, ROUND(cos, 2) AS cosine
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, FLOOR((cos) * 100 + 0.5) / 100 AS cosine
 FROM ranked WHERE rank <= {TOP_K}
 ORDER BY query_id, rank
 """
@@ -230,7 +232,7 @@ def embedding_near_dup(
         .applyInPandas(block_pair, "vec_a long, vec_b long, cos double")
     )
     return (
-        pairs.select("vec_a", "vec_b", F.round("cos", 2).alias("cosine"))
+        pairs.select("vec_a", "vec_b", (F.floor((F.col("cos")) * 100 + F.lit(0.5)) / 100).alias("cosine"))
         .orderBy("vec_a", "vec_b")
     )
 
@@ -242,7 +244,7 @@ WITH e AS (
                                CAST(embedding AS DOUBLE[]))) AS norm
   FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ROUND(list_dot_product(a.emb, b.emb) / NULLIF(a.norm * b.norm, 0), 2) AS cosine
+       FLOOR((list_dot_product(a.emb, b.emb) / NULLIF(a.norm * b.norm, 0)) * 100 + 0.5) / 100 AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.emb, b.emb) / NULLIF(a.norm * b.norm, 0) >= 0.45
 ORDER BY vec_a, vec_b
@@ -294,7 +296,7 @@ def ivf_kmeans_search(
         .withColumn("cos", cos)
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", "neighbor_id", F.round("cos", 2).alias("cosine"))
+        .select("query_id", "rank", "neighbor_id", (F.floor((F.col("cos")) * 100 + F.lit(0.5)) / 100).alias("cosine"))
         .orderBy("query_id", "rank")
     )
 
@@ -396,7 +398,7 @@ def ann_pq_search(
         .withColumn("cos", dot(F.col("qu"), F.col("cu")))
         .withColumn("rank", F.row_number().over(wr))
         .where(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", "neighbor_id", F.round("cos", 2).alias("cosine"))
+        .select("query_id", "rank", "neighbor_id", (F.floor((F.col("cos")) * 100 + F.lit(0.5)) / 100).alias("cosine"))
         .orderBy("query_id", "rank")
     )
 
@@ -683,7 +685,7 @@ def ann_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rrf", rrf)
         .withColumn("rank", F.row_number().over(wf).cast("int"))
         .where(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", "doc_id", F.round("rrf", 4).alias("rrf"))
+        .select("query_id", "rank", "doc_id", (F.floor((F.col("rrf")) * 10000 + F.lit(0.5)) / 10000).alias("rrf"))
         .orderBy("query_id", "rank")
     )
 
@@ -729,7 +731,7 @@ final AS (
   SELECT query_id, doc_id, rrf,
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
   FROM fused QUALIFY rank <= {TOP_K})
-SELECT query_id, CAST(rank AS INT) AS rank, doc_id, ROUND(rrf, 4) AS rrf
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, FLOOR((rrf) * 10000 + 0.5) / 10000 AS rrf
 FROM final ORDER BY query_id, rank
 """
 
@@ -787,9 +789,9 @@ def emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         (
             i + 1,
-            round(float(evals[i]), 6),
-            round(float(evals[i] / total), 4),
-            round(float(evals[: i + 1].sum() / total), 4),
+            math.floor(float(evals[i]) * 1000000 + 0.5) / 1000000,
+            math.floor(float(evals[i] / total) * 10000 + 0.5) / 10000,
+            math.floor(float(evals[: i + 1].sum() / total) * 10000 + 0.5) / 10000,
         )
         for i in range(min(PCA_TOP, dim))
     ]

@@ -10,6 +10,8 @@ path; at 100 TB these are embarrassingly parallel single-pass scans.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -397,7 +399,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg("lp"), 4).alias("mean_logprob"),
+            (F.floor((F.avg("lp")) * 10000 + F.lit(0.5)) / 10000).alias("mean_logprob"),
         )
         .orderBy("doc_id")
     )
@@ -409,7 +411,7 @@ WITH toks AS (
 lm AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY 1),
 total AS (SELECT SUM(tf) AS n_total FROM lm)
 SELECT doc_id, COUNT(*) AS n_tokens,
-       ROUND(AVG(ln(tf * 1.0 / n_total)), 4) AS mean_logprob
+       FLOOR((AVG(ln(tf * 1.0 / n_total))) * 10000 + 0.5) / 10000 AS mean_logprob
 FROM toks JOIN lm USING (tok), total
 GROUP BY doc_id ORDER BY doc_id
 """
@@ -516,7 +518,7 @@ def text_sparse_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round(F.col("dot") / (F.col("nrm_a") * F.col("nrm_b")), 3).alias("cos"),
+            (F.floor((F.col("dot") / (F.col("nrm_a") * F.col("nrm_b"))) * 1000 + F.lit(0.5)) / 1000).alias("cos"),
         )
         .where(F.col("cos") >= 0.5)
     )
@@ -546,11 +548,11 @@ dots AS (
   FROM wts a JOIN wts b ON a.term = b.term AND a.doc_id < b.doc_id
   GROUP BY 1, 2),
 scored AS (
-  SELECT doc_a, doc_b, ROUND(dot / (na.nrm * nb.nrm), 3) AS cos
+  SELECT doc_a, doc_b, FLOOR((dot / (na.nrm * nb.nrm)) * 1000 + 0.5) / 1000 AS cos
   FROM dots
   JOIN norms na ON na.doc_id = doc_a
   JOIN norms nb ON nb.doc_id = doc_b
-  WHERE ROUND(dot / (na.nrm * nb.nrm), 3) >= 0.5)
+  WHERE FLOOR((dot / (na.nrm * nb.nrm)) * 1000 + 0.5) / 1000 >= 0.5)
 SELECT doc_a, doc_b, cos FROM scored
 QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_a ORDER BY cos DESC, doc_b) = 1
 ORDER BY doc_a
@@ -947,7 +949,7 @@ def text_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(LOGREG_DIM)
         ]
     return spark.createDataFrame(
-        [(j, round(w_vec[j], 6)) for j in range(LOGREG_DIM)], "j int, weight double"
+        [(j, math.floor(w_vec[j] * 1000000 + 0.5) / 1000000) for j in range(LOGREG_DIM)], "j int, weight double"
     )
 
 

@@ -50,7 +50,7 @@ def windowed_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return (
         stream.withWatermark("ts", watermark)
         .groupBy("event_type", F.window("ts", "1 hour").alias("win"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+        .agg(F.count(F.lit(1)).alias("n"), (F.floor((F.sum("value")) * 100 + F.lit(0.5)) / 100).alias("sv"))
         .select("event_type", F.col("win.start").alias("w"), "n", "sv")
     )
 
@@ -74,7 +74,7 @@ def stream_e1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Epoch-aligned 1-hour tumbling windows == date_trunc('hour', ts).
 STREAM_E1_SQL = """
 SELECT event_type, date_trunc('hour', ts) AS w,
-       COUNT(*) AS n, ROUND(SUM(value),2) AS sv
+       COUNT(*) AS n, FLOOR((SUM(value)) * 100 + 0.5) / 100 AS sv
 FROM events GROUP BY 1,2 ORDER BY 1,2
 """
 
@@ -89,7 +89,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         events_stream(spark, sf_dir)
         .withWatermark("ts", "2 hours")
         .groupBy("event_type", F.window("ts", "2 hours", "1 hour").alias("win"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+        .agg(F.count(F.lit(1)).alias("n"), (F.floor((F.sum("value")) * 100 + F.lit(0.5)) / 100).alias("sv"))
         .select("event_type", F.col("win.start").alias("w"), "n", "sv")
         .writeStream.format("memory")
         .queryName(sink)
@@ -106,7 +106,7 @@ WITH hop AS (
   SELECT event_type, value,
          UNNEST([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS w
   FROM events)
-SELECT event_type, w, COUNT(*) AS n, ROUND(SUM(value),2) AS sv
+SELECT event_type, w, COUNT(*) AS n, FLOOR((SUM(value)) * 100 + 0.5) / 100 AS sv
 FROM hop GROUP BY 1,2 ORDER BY 1,2
 """
 
@@ -134,7 +134,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_unique"),
-            F.round(F.sum("value"), 2).alias("sv"),
+            (F.floor((F.sum("value")) * 100 + F.lit(0.5)) / 100).alias("sv"),
         )
         .orderBy("event_type")
     )
@@ -144,7 +144,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle states directly (the operator's value is the streaming shape:
 # bounded dedup state + append mode).
 STREAM_DEDUP_SQL = """
-SELECT event_type, COUNT(*) AS n_unique, ROUND(SUM(value),2) AS sv
+SELECT event_type, COUNT(*) AS n_unique, FLOOR((SUM(value)) * 100 + 0.5) / 100 AS sv
 FROM (SELECT DISTINCT ON (event_id) event_id, event_type, value FROM events
       ORDER BY event_id)
 GROUP BY 1 ORDER BY 1
@@ -259,7 +259,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("user_id", F.session_window("ts", "30 minutes").alias("win"))
             .agg(
                 F.count(F.lit(1)).alias("n_events"),
-                F.round(F.sum("value"), 2).alias("sv"),
+                (F.floor((F.sum("value")) * 100 + F.lit(0.5)) / 100).alias("sv"),
             )
             .select(
                 "user_id",
@@ -294,7 +294,7 @@ s AS (
                            ROWS UNBOUNDED PRECEDING) AS sid
   FROM g)
 SELECT user_id, MIN(ts) AS s_start, MAX(ts) + INTERVAL 30 MINUTE AS s_end,
-       COUNT(*) AS n_events, ROUND(SUM(value),2) AS sv
+       COUNT(*) AS n_events, FLOOR((SUM(value)) * 100 + 0.5) / 100 AS sv
 FROM s GROUP BY user_id, sid ORDER BY user_id, s_start
 """
 
@@ -377,7 +377,7 @@ def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("ts", "1 hour")
         .join(F.broadcast(dim), "user_id")
         .groupBy("c_mktsegment", F.window("ts", "1 day").alias("win"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+        .agg(F.count(F.lit(1)).alias("n"), (F.floor((F.sum("value")) * 100 + F.lit(0.5)) / 100).alias("sv"))
         .select("c_mktsegment", F.col("win.start").alias("w"), "n", "sv")
         .writeStream.format("memory")
         .queryName(sink)
@@ -391,7 +391,7 @@ def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STREAM_ENRICH_SQL = """
 SELECT c_mktsegment, date_trunc('day', ts) AS w,
-       COUNT(*) AS n, ROUND(SUM(value),2) AS sv
+       COUNT(*) AS n, FLOOR((SUM(value)) * 100 + 0.5) / 100 AS sv
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY 1,2 ORDER BY 1,2
 """
@@ -437,14 +437,14 @@ def stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             F.col("n").cast("long").alias("n"),
-            F.round("sv", 2).alias("sv"),
+            (F.floor((F.col("sv")) * 100 + F.lit(0.5)) / 100).alias("sv"),
         )
         .orderBy("event_type")
     )
 
 
 STREAM_INCREMENTAL_MV_SQL = """
-SELECT event_type, COUNT(*) AS n, ROUND(SUM(value),2) AS sv
+SELECT event_type, COUNT(*) AS n, FLOOR((SUM(value)) * 100 + 0.5) / 100 AS sv
 FROM events GROUP BY 1 ORDER BY 1
 """
 
@@ -597,7 +597,7 @@ def stream_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .agg(
                 F.sum("n").alias("n"),
-                F.round(F.sum("sv"), 2).alias("sv"),
+                (F.floor((F.sum("sv")) * 100 + F.lit(0.5)) / 100).alias("sv"),
                 F.count(F.lit(1)).alias("n_hours"),
             )
             .select(
@@ -627,7 +627,7 @@ WITH hourly AS (
          COUNT(*) AS n, SUM(value) AS sv
   FROM events GROUP BY 1, 2)
 SELECT event_type, date_trunc('day', h) AS day,
-       CAST(SUM(n) AS BIGINT) AS n, ROUND(SUM(sv), 2) AS sv,
+       CAST(SUM(n) AS BIGINT) AS n, FLOOR((SUM(sv)) * 100 + 0.5) / 100 AS sv,
        COUNT(*) AS n_hours
 FROM hourly
 WHERE date_trunc('day', h) < TIMESTAMP '{OUTER_JOIN_CUTOFF}'
@@ -682,7 +682,7 @@ def stream_update_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STREAM_UPDATE_TOTALS_SQL = """
 SELECT user_id, COUNT(*) AS n_events,
-       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100 AS sv
+       CAST(SUM(CAST(FLOOR((value * 100) * 1 + 0.5) / 1 AS BIGINT)) AS DOUBLE) / 100 AS sv
 FROM events GROUP BY user_id ORDER BY user_id
 """
 
