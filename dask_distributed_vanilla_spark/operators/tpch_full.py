@@ -854,10 +854,14 @@ def b8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.year("o_orderdate").cast("long").alias("o_year"), vol.alias("volume"), "nation")
         .groupBy("o_year")
         .agg(
-            F.round(
-                F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(0.0))
-                / F.sum("volume"),
-                2,
+            (
+                F.floor(
+                    F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(0.0))
+                    / F.sum("volume")
+                    * 100
+                    + F.lit(0.5)
+                )
+                / 100
             ).alias("mkt_share")
         )
         .orderBy("o_year")
@@ -898,11 +902,15 @@ def b14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(
-                100.0
-                * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0))
-                / F.sum(rev),
-                2,
+            (
+                F.floor(
+                    100.0
+                    * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0))
+                    / F.sum(rev)
+                    * 100
+                    + F.lit(0.5)
+                )
+                / 100
             ).alias("promo_revenue")
         )
     )
