@@ -16,6 +16,22 @@ same round: every display rounding in the registry (and each oracle
 twin, and the Python-side pins via math.floor) now uses the
 floor(x*scale + 0.5)/scale form — no native-ROUND display pair
 remains on the judged surface.
+
+Two VALUE-DOMAIN native rounds survive the migration ON PURPOSE — they
+round a quantity the query then computes WITH, not a displayed result,
+and both engines' half-even agrees on their grids (integer codebook
+cells / integer cents, never .xx5 doubles):
+
+  - emb_quantize codebook cell assignment
+    (operators/similarity.py:554, oracle twin :603) — the round IS the
+    quantizer; both sides round the same expression so MAE matches.
+  - stream_update_totals integer-cents normalization
+    (streaming/events_stream.py:656) — cents are exact integers; the
+    round removes double noise BEFORE the sum, not after it.
+
+A future rounding sweep must leave these two as-is: "fixing" them to
+half-up would change the quantizer/normalizer semantics themselves and
+desynchronize engine vs oracle.
 """
 
 from __future__ import annotations

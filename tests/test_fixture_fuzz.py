@@ -442,3 +442,224 @@ def test_er_chain_graph_matches_oracle_and_converges(spark, tmp_path):
         assert (len(sdf), s_schema, s_hash) == (len(odf), o_schema, o_hash), (
             f"{name} diverges on chain graph\nspark:\n{sdf}\noracle:\n{odf}"
         )
+
+
+# ---------------------------------------------------------------------------
+# lakehouse + streaming-sink fuzz: the two judged families that had no
+# generated-data coverage (round-4 VERDICT item 6a). Snapshots, MERGE
+# windows and refresh slices get hostile fixtures: users present on only
+# one side of a window (insert/delete paths), duplicate latest
+# timestamps (the row_number tiebreak must agree engine-to-engine),
+# constant-value users (the 'unchanged' CDC path), refresh key slices
+# that are empty / overlapping (an order deleted by RF2 AND copied by
+# RF1), and pre-epoch dates driving the z-order bit mask negative.
+# ---------------------------------------------------------------------------
+
+LAKE_EVENT_OPS = ["merge_upsert", "snapshot_diff"]
+
+# Tail-safe streaming twins only: complete mode (stream_e1),
+# emit-on-arrival append (stream_dedup), update mode with max_by
+# recovery (stream_update_totals). The watermark-withholding append
+# queries (sliding/session/two_level) are excluded on purpose — on an
+# hours-long generated tape their final windows are legitimately still
+# open when the replay ends, so batch-vs-stream divergence there is
+# semantics, not a bug.
+STREAM_FUZZED_OPS = ["stream_e1", "stream_dedup", "stream_update_totals"]
+
+
+@st.composite
+def lake_event_tables(draw):
+    """Events straddling MERGE_SPLIT (Jan 16) and the snapshot windows
+    (Jan 1-11 / Jan 11-21): per-user presence patterns select the
+    MERGE/CDC action paths; duplicate-timestamp rows force the
+    (ts DESC, event_id DESC) tiebreak to decide the snapshot."""
+    base = pd.Timestamp("2024-01-01")
+    n_users = draw(st.integers(min_value=4, max_value=8))
+    rows = []
+    eid = 0
+    for u in range(1, n_users + 1):
+        presence = draw(st.sampled_from(["early", "late", "both"]))
+        constant = draw(st.booleans())  # same value everywhere → 'unchanged'
+        n = draw(st.integers(min_value=2, max_value=8))
+        for _ in range(n):
+            if presence == "early":
+                day = draw(st.integers(min_value=0, max_value=10))
+            elif presence == "late":
+                day = draw(st.integers(min_value=16, max_value=24))
+            else:
+                day = draw(st.integers(min_value=0, max_value=24))
+            # 86399s lands on a window's last second; 0 on its first
+            sec = draw(st.sampled_from([0.0, 1.5, 3600.0, 86399.0]))
+            ts = base + pd.to_timedelta(day, unit="D") + pd.to_timedelta(sec, unit="s")
+            value = (
+                7.07
+                if constant
+                else round(
+                    draw(
+                        st.floats(
+                            min_value=-500.0,
+                            max_value=500.0,
+                            allow_nan=False,
+                            allow_infinity=False,
+                        )
+                    ),
+                    2,
+                )
+            )
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": ts,
+                    "user_id": u,
+                    "event_type": "purchase",
+                    "value": value,
+                    "props": '{"k": 1}',
+                }
+            )
+            eid += 1
+            if draw(st.booleans()):
+                # duplicate-timestamp sibling with a DIFFERENT value:
+                # only the event_id tiebreak separates them
+                rows.append({**rows[-1], "event_id": eid, "value": round(value + 0.11, 2)})
+                eid += 1
+    df = pd.DataFrame(rows)
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    return df
+
+
+@pytest.mark.parametrize("name", LAKE_EVENT_OPS)
+@given(table=lake_event_tables())
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_lakehouse_generated_fixture_matches_oracle(
+    spark, tmp_path_factory, name, table
+):
+    _run_pair(spark, name, table, tmp_path_factory.mktemp("lakefuzz"))
+
+
+@pytest.mark.parametrize("name", STREAM_FUZZED_OPS)
+@given(table=event_tables())
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_streaming_sink_generated_fixture_matches_oracle(
+    spark, tmp_path_factory, name, table
+):
+    _run_pair(spark, name, table, tmp_path_factory.mktemp("streamfuzz"))
+
+
+@st.composite
+def orders_lineitem_tables(draw):
+    """Hostile orders/lineitem for the refresh + layout operators:
+    orderkey 0 is in BOTH refresh slices (%97 delete and %89 insert-copy
+    — the cascade and the key shift must compose); slices may otherwise
+    be empty; lineitems include orphans (no parent order) and lines
+    under deleted orders; o_orderdate includes pre-1992 dates so the
+    z-order day offset goes negative through the bit mask."""
+    keys = {0}
+    for _ in range(draw(st.integers(min_value=5, max_value=20))):
+        kind = draw(st.sampled_from(["del", "ins", "both", "plain"]))
+        m = draw(st.integers(min_value=1, max_value=40))
+        if kind == "del":
+            keys.add(97 * m)
+        elif kind == "ins":
+            keys.add(89 * m)
+        elif kind == "both":
+            keys.add(97 * 89 * m)
+        else:
+            keys.add(draw(st.integers(min_value=1, max_value=5000)))
+    orows = []
+    for k in sorted(keys):
+        date = pd.Timestamp("1992-01-01") + pd.to_timedelta(
+            draw(st.integers(min_value=-800, max_value=2500)), unit="D"
+        )
+        orows.append(
+            {
+                "o_orderkey": k,
+                "o_custkey": draw(st.integers(min_value=0, max_value=200_000)),
+                "o_orderstatus": draw(st.sampled_from(["O", "F", "P"])),
+                "o_totalprice": round(
+                    draw(
+                        st.floats(
+                            min_value=1.0,
+                            max_value=400_000.0,
+                            allow_nan=False,
+                            allow_infinity=False,
+                        )
+                    ),
+                    2,
+                ),
+                "o_orderdate": date,
+                "o_orderpriority": "1-URGENT",
+            }
+        )
+    lrows = []
+    ln = 0
+    for k in sorted(keys):
+        for i in range(draw(st.integers(min_value=0, max_value=3))):
+            lrows.append({"l_orderkey": k, "l_linenumber": i + 1})
+            ln += 1
+    for _ in range(draw(st.integers(min_value=0, max_value=4))):
+        # orphan line: parent key exists in no order (ingest races do this)
+        lrows.append(
+            {"l_orderkey": draw(st.integers(min_value=900_000, max_value=999_999)),
+             "l_linenumber": 1}
+        )
+    odf = pd.DataFrame(orows)
+    odf["o_orderdate"] = odf["o_orderdate"].astype("datetime64[us]")
+    ldf = pd.DataFrame(lrows) if lrows else pd.DataFrame(
+        {"l_orderkey": pd.Series([], dtype="int64"),
+         "l_linenumber": pd.Series([], dtype="int32")}
+    )
+    ldf["l_orderkey"] = ldf["l_orderkey"].astype("int64")
+    ldf["l_linenumber"] = ldf["l_linenumber"].astype("int32")
+    return odf, ldf
+
+
+def _run_multi_table_pair(spark, name: str, tables: dict, tmp_root: Path):
+    d = tmp_root / f"lkfuzz_{uuid.uuid4().hex[:8]}"
+    d.mkdir()
+    for tname, tdf in tables.items():
+        tdf.to_parquet(d / f"{tname}.parquet")
+    sdf = REG_QUERIES[name](spark, str(d)).toPandas()
+    con = duckdb.connect()
+    try:
+        for tname in tables:
+            con.execute(
+                f"CREATE VIEW {tname} AS SELECT * FROM '{d}/{tname}.parquet'"
+            )
+        odf = con.execute(REG_ORACLES[name]).fetchdf()
+    finally:
+        con.close()
+    s_schema, s_hash = canonical(sdf)
+    o_schema, o_hash = canonical(odf)
+    assert len(sdf) == len(odf), f"{name}: rows {len(sdf)} != {len(odf)}"
+    assert s_schema == o_schema, f"{name}: schema {s_schema} != {o_schema}"
+    assert s_hash == o_hash, (
+        f"{name}: value divergence on generated fixture\n"
+        f"spark:\n{sdf.to_string()}\noracle:\n{odf.to_string()}"
+    )
+
+
+@pytest.mark.parametrize("name", ["tpch_refresh", "zorder_layout"])
+@given(tabs=orders_lineitem_tables())
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_refresh_layout_generated_fixture_matches_oracle(
+    spark, tmp_path_factory, name, tabs
+):
+    orders, lineitem = tabs
+    _run_multi_table_pair(
+        spark,
+        name,
+        {"orders": orders, "lineitem": lineitem},
+        tmp_path_factory.mktemp("refreshfuzz"),
+    )

@@ -379,18 +379,23 @@ def test_orders_pareto_matches_independent_pandas(spark):
 def test_registry_window_prioritizes_never_judged():
     """The driver judges the FIRST 50 registry entries each round. The
     ordering contract: every query without an official CORRECTNESS row
-    ranks before every judged one (oracle-backed before rows-only), and
-    the two judged no-oracle sketch twins rank dead last. The judged set
-    is discovered from CORRECTNESS_r*.json at the repo root, so the
-    window self-rotates when a new round's artifact lands."""
+    ranks before every judged one (oracle-backed before rows-only), then
+    the rounding-migration re-certification queue in its declared
+    priority order, and the two judged no-oracle sketch twins rank dead
+    last. The judged set is discovered from CORRECTNESS_r*.json at the
+    repo root, so the window self-rotates when a new round's artifact
+    lands."""
     import json
     from pathlib import Path
 
-    from dask_distributed_vanilla_spark.plans.registry import _driver_judged
+    from dask_distributed_vanilla_spark.plans.registry import (
+        _ROUNDING_MIGRATION_RECERT,
+        _driver_judged,
+    )
 
     names = list(all_queries())
     oracles = all_oracles()
-    judged, no_oracle = _driver_judged()
+    judged, no_oracle, post_migration = _driver_judged()
     first_never = [n for n in names if n not in judged]
     if first_never:  # false only once every query has an official row
         # never-judged queries must occupy a contiguous prefix
@@ -399,9 +404,19 @@ def test_registry_window_prioritizes_never_judged():
         # within it, oracle-backed before rows-only
         tail_rows_only = [n for n in names[:k] if n not in oracles]
         assert names[:k][k - len(tail_rows_only):] == tail_rows_only
+    else:
+        k = 0
+    # stale greens (migrated pre-r04 rows) follow, in declared priority
+    # order; once a round-≥4 artifact contains a name it leaves the queue
+    pending = [n for n in _ROUNDING_MIGRATION_RECERT
+               if n in judged and n not in post_migration]
+    assert names[k:k + len(pending)] == pending
     # judged sketch twins never spend a slot again
     assert set(names[-len(no_oracle):]) == set(no_oracle)
     # artifacts on disk are reflected (self-maintenance)
     root = Path(__file__).resolve().parents[1]
     for f in root.glob("CORRECTNESS_r*.json"):
-        assert set(json.loads(f.read_text())) <= judged
+        rows = set(json.loads(f.read_text()))
+        assert rows <= judged
+        if int(f.stem.split("_r")[1]) >= 4:
+            assert rows <= post_migration
