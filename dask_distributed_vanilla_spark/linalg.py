@@ -39,10 +39,16 @@ def random_block_matrix(
 
     def make(coord: tuple[int, int]) -> Block:
         bi, bj = coord
-        rng = np.random.RandomState(seed + bi * 100003 + bj)
         rows = min(chunk, n_rows - bi * chunk)
         cols = min(chunk, n_cols - bj * chunk)
-        return (bi, bj), rng.random_sample((rows, cols))
+        # PCG64 filling a preallocated buffer: the legacy RandomState
+        # path allocates through a temp and faults every page twice —
+        # measured 46.5 s vs 4.4 s for the same 1.6 GB on this box
+        # (SCALE.md §array), and block generation is on every task's
+        # critical path here
+        block = np.empty((rows, cols))
+        np.random.default_rng(seed + bi * 100003 + bj).random(out=block)
+        return (bi, bj), block
 
     return spark.sparkContext.parallelize(coords, len(coords)).map(make)
 
@@ -143,9 +149,10 @@ def random_row_panels(
     the layout the broadcast matmul consumes (one task per panel)."""
     n_panels = (n_rows + panel_rows - 1) // panel_rows
     def make(i: int):
-        rng = np.random.RandomState(seed + i)
         rows = min(panel_rows, n_rows - i * panel_rows)
-        return i, rng.random_sample((rows, n_cols))
+        panel = np.empty((rows, n_cols))  # see random_block_matrix: PCG64
+        np.random.default_rng(seed + i).random(out=panel)
+        return i, panel
     return spark.sparkContext.parallelize(range(n_panels), n_panels).map(make)
 
 
@@ -156,9 +163,135 @@ def matmul_broadcast(spark: SparkSession, a_panels: RDD, b: np.ndarray) -> RDD:
     ZERO shuffle (vs the grid plan's 2·bk_n·n² replicated shuffle bytes).
     The right plan whenever one operand is executor-memory-sized (same
     decision rule Spark's own planner applies to broadcast joins); for
-    two huge operands the grid plan in block_matmul is the scale path."""
+    two huge operands the grid plan in block_matmul is the scale path.
+
+    Measured caveat (SCALE.md §array): a multi-GB ``b`` pays a SERIAL
+    driver round-trip — pickle on the python driver, single-threaded
+    ingest into the driver JVM's MemoryStore (heap-pressure-sensitive:
+    minutes of full-GC churn observed at 2 GB under an 8 GB heap), then
+    a per-worker unpickle. Above ~1 GB prefer
+    :func:`matmul_broadcast_staged`, which builds the broadcast side
+    executor-side from shared storage and never touches the driver."""
     bb = spark.sparkContext.broadcast(b)
     return a_panels.mapValues(lambda p: p @ bb.value)
+
+
+def write_npy_panels(panels: RDD, dir_path: str) -> int:
+    """Stage an RDD of (idx, 2-D row panel) as ``<dir>/b_<idx>.npy``
+    files, written by the executors that hold each panel — no driver
+    round-trip. ``dir_path`` must be storage every executor can read
+    (this box: local disk; a cluster: NFS/HDFS-fuse/S3-mount — the same
+    contract as any shared-filesystem checkpoint). Returns panel count."""
+
+    def save(kv) -> int:
+        i, p = kv
+        np.save(f"{dir_path}/b_{i:05d}.npy", p)
+        return 1
+
+    return panels.map(save).sum()
+
+
+# (get, set) entry points into the OpenBLAS that numpy already loaded,
+# resolved once per worker process. PySpark pins every python worker to
+# OMP_NUM_THREADS = spark.task.cpus (= 1) so that 32 concurrent tasks
+# can't oversubscribe the box — the right default for the suite, but a
+# low-concurrency big dgemm then runs 1 core per task and leaves the
+# other 28 idle (measured: 251 s / 35 GFLOPS at 4-panel concurrency on
+# 32 cores, vs ~350 GFLOPS aggregate for the identical dgemms outside
+# Spark). openblas_set_num_threads overrides the env pin at runtime.
+_BLAS_CTL: tuple | None = None
+
+
+def _blas_thread_ctl() -> tuple:
+    global _BLAS_CTL
+    if _BLAS_CTL is None:
+        import ctypes
+        import glob
+        import os
+
+        get = set_ = None
+        libs_dir = os.path.join(os.path.dirname(os.path.dirname(np.__file__)), "numpy.libs")
+        for lib in glob.glob(os.path.join(libs_dir, "libopenblas*")):
+            dll = ctypes.CDLL(lib)  # already mapped by numpy → same handle
+            for sfx in ("64_", ""):  # ILP64 builds suffix every symbol
+                g = getattr(dll, f"openblas_get_num_threads{sfx}", None)
+                s = getattr(dll, f"openblas_set_num_threads{sfx}", None)
+                if g is not None and s is not None:
+                    get, set_ = g, s
+                    break
+            if get is not None:
+                break
+        _BLAS_CTL = (get, set_)  # (None, None) on MKL/other backends
+    return _BLAS_CTL
+
+
+# Per-process cache of assembled staged matrices: with
+# spark.python.worker.reuse (default on) each worker pays the one-time
+# vstack ONCE and every later task against the same staging dir reuses
+# it — the python twin of Spark's per-executor broadcast-value cache.
+_STAGED_CACHE: dict[str, np.ndarray] = {}
+
+
+def _load_staged(dir_path: str) -> np.ndarray:
+    b = _STAGED_CACHE.get(dir_path)
+    if b is None:
+        import glob
+
+        files = sorted(glob.glob(f"{dir_path}/b_*.npy"))
+        b = np.vstack([np.load(f) for f in files]) if len(files) > 1 else np.load(files[0])
+        _STAGED_CACHE.clear()  # hold at most one staged matrix per worker
+        _STAGED_CACHE[dir_path] = b
+    return b
+
+
+def matmul_broadcast_staged(
+    a_panels: RDD, b_dir: str, blas_threads: int | None = None
+) -> RDD:
+    """C = A @ B with B staged as row-panel files on shared storage —
+    the broadcast join's executor-side build transposed to linalg, and
+    the scale path for multi-GB broadcast operands.
+
+    Why not ``sc.broadcast``: measured on this box (SCALE.md §array),
+    a 2 GB B through the driver costs 300-600 s wall with most of it
+    serial (driver pickle + single-threaded MemoryStore ingest under GC
+    pressure + per-worker unpickle), and the cost varies run-to-run with
+    driver heap state. Staging the same bytes as executor-written .npy
+    files costs ~18 s once, and each worker assembles B from the page
+    cache in seconds. Each task then runs ONE full-width dgemm — also
+    measured: panel-wise accumulation (4 small dgemms + partial-C
+    traffic) runs ~3x slower than the single dgemm on this
+    memory-bandwidth-bound box, so the assemble-then-multiply shape is
+    deliberate, not a convenience.
+
+    ``blas_threads``: per-task BLAS thread count for the dgemm. PySpark
+    pins worker OMP_NUM_THREADS to spark.task.cpus (= 1) so the suite's
+    32-way-concurrent tasks can't oversubscribe; this call runs FEWER,
+    BIGGER tasks, so pass ~cores/concurrency to hand the idle cores to
+    each dgemm. Measured on this box (SCALE.md §array): aggregate dgemm
+    throughput peaks at 8 concurrent × 4 threads (136 GFLOPS, vs 81 at
+    16 × 1) — bandwidth-bound, so the split matters more than the
+    product. Set and restored around the dgemm only — worker reuse must
+    not leak the raised count into later 32-way stages.
+
+    Reference basis: benchmark/matrix_multiplication.py:18-22 (the
+    chunked matmul this accelerates when one operand is worker-sized).
+    """
+
+    def mult(p: np.ndarray) -> np.ndarray:
+        b = _load_staged(b_dir)
+        if blas_threads is None:
+            return p @ b
+        get, set_ = _blas_thread_ctl()
+        if get is None:
+            return p @ b
+        prev = get()
+        set_(blas_threads)
+        try:
+            return p @ b
+        finally:
+            set_(prev)
+
+    return a_panels.mapValues(mult)
 
 
 def collect_matrix(blocks: RDD) -> np.ndarray:

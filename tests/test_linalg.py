@@ -34,6 +34,31 @@ def test_matmul_broadcast_matches_numpy(spark):
     np.testing.assert_allclose(got, a_local @ b_local, rtol=1e-10)
 
 
+def test_matmul_broadcast_staged_matches_numpy(spark, tmp_path):
+    """The shared-storage build side: B staged as executor-written .npy
+    panels, assembled worker-side (and cached per process), one dgemm
+    per A panel — must equal the driver-broadcast path bit-for-bit."""
+    b_panels = linalg.random_row_panels(spark, 40, 24, panel_rows=16, seed=2)
+    n_files = linalg.write_npy_panels(b_panels, str(tmp_path))
+    assert n_files == 3
+    b_local = np.vstack([p for _, p in sorted(b_panels.collect())])
+    a_panels = linalg.random_row_panels(spark, 60, 40, panel_rows=16, seed=1)
+    a_local = np.vstack([p for _, p in sorted(a_panels.collect())])
+    got = np.vstack(
+        [
+            p
+            for _, p in sorted(
+                # blas_threads exercises the runtime OpenBLAS override
+                # (set + restore); results must be unaffected by it
+                linalg.matmul_broadcast_staged(
+                    a_panels, str(tmp_path), blas_threads=2
+                ).collect()
+            )
+        ]
+    )
+    np.testing.assert_allclose(got, a_local @ b_local, rtol=1e-10)
+
+
 def test_tsqr_svd_tall_skinny(spark):
     rng = np.random.RandomState(0)
     mat = rng.random_sample((300, 8))

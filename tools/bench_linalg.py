@@ -12,7 +12,9 @@ from __future__ import annotations
 
 import argparse
 import json
+import shutil
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -52,11 +54,13 @@ SIZES = {
     #     right, the single-node scratch volume is the binding limit.
     #     xlarge therefore keeps the grid probe at 16,384²/4,096
     #     (~34 GB scratch, measured 390s in round 3).
-    #   - 32,768² runs HERE via the zero-shuffle broadcast plan: B =
-    #     8.6 GB broadcast to 8 concurrent workers (8 × 8.6 ≈ 69 GB of
-    #     B copies, inside 128 GiB) with 4 BLAS threads each — measured
-    #     this session: 1,596s compute (44.1 GFLOPS) + 589s distributed
-    #     generate/collect, peak RSS ~113 GB, checksum = analytic n³/4.
+    #   - 32,768² runs HERE via the zero-shuffle broadcast plan: round
+    #     4 measured 1,596s compute (44.1 GFLOPS) + 589s generate/
+    #     collect with B an 8.6 GB sc.broadcast to 8 workers (peak RSS
+    #     ~113 GB, checksum = analytic n³/4). Round 5's bandwidth
+    #     finding (see BCAST_MATMUL_N below + SCALE.md §array) moved
+    #     xlarge onto the file-staged build at 8-panel × 4-BLAS-thread
+    #     concurrency — no driver round-trip, bandwidth-optimal split.
     # Remaining BASELINE.md configs exceed the sandbox, not the design:
     #   65,536² matmul = 34 GB/operand; the broadcast plan needs |B| ×
     #   concurrent-worker copies (even 2 × 34 GB + panels + JVM ≈ RAM)
@@ -69,10 +73,10 @@ SIZES = {
     "xlarge": ((16_384, 4_096), (1_048_576, 2_048, 64), (16_384, 4_096, 5)),
 }
 
-# broadcast-plan matmul size per scale (one operand broadcast, zero
-# shuffle — viable whenever B fits executor memory). xlarge's 32,768
-# needs 8-panel concurrency (8 × 8.6 GB B copies) + OMP_NUM_THREADS=4
-# so the 32 cores stay busy under the reduced task count.
+# broadcast-plan matmul size per scale (one operand built worker-side
+# from staged files, zero shuffle — viable whenever B fits executor
+# memory). xlarge's 32,768 runs at 8-panel concurrency: 8 × (8.6 GB B +
+# 1.1 GB A panel + 1.1 GB C panel) ≈ 86 GB, inside the 128 GiB box.
 BCAST_MATMUL_N = {"small": 1_024, "medium": 4_096, "large": 16_384, "xlarge": 32_768}
 
 # kmeans samples / predict rows per scale (ref kmeans.py:22-28: 10M
@@ -105,40 +109,78 @@ def linalg_workloads(spark, scale: str = "small") -> dict:
     }
 
     bc_n = BCAST_MATMUL_N[scale]
-    # Concurrency × |B| must fit RAM (every concurrent Python worker
-    # deserializes its own copy of the broadcast): 16 panels up to 16k
-    # (2 GB copies), 8 panels at 32k (8.6 GB copies ≈ 69 GB).
-    bc_panels = 8 if bc_n >= 32_768 else 16
+    # File-staged broadcast (the round-5 finding, SCALE.md §array): the
+    # old driver-broadcast flow (generate B distributed → collect 2 GB →
+    # sc.broadcast) paid a SERIAL multi-GB driver round-trip whose cost
+    # swung 183→596 s run-to-run with driver-heap state — that was the
+    # r03→r04 "regression". Staging B as executor-written .npy panels
+    # (shared storage on a cluster) removes the driver entirely.
+    # Concurrency 8 × 4 BLAS threads, not 32 × 1: this box's OpenBLAS is
+    # the DYNAMIC_ARCH Prescott (SSE3) kernel, memory-bandwidth-bound
+    # under concurrency — measured (no Spark, multiprocessing, identical
+    # 16,384×8,192×8,192 total work): 16 procs × 1 thr = 81 aggregate
+    # GFLOPS, 8 × 4 = 136 (peak), 4 × 8 = 121, 2 × 16 = 110; solo dgemm
+    # is 10.4 GFLOPS at 1 thread / 100 at 32. RAM: concurrency × (|B| +
+    # |A panel| + |C panel|) — 8 × 2.6 GB at 16k, 8 × 10.8 GB at 32k —
+    # must fit the box, and does.
+    # blas_threads: PySpark pins worker OMP_NUM_THREADS to
+    # spark.task.cpus (= 1); at 8-task concurrency that strands 24 of 32
+    # cores mid-dgemm. Hand each task cores/concurrency threads for the
+    # dgemm only (linalg sets and restores around the call, so the
+    # suite's 32-way stages keep the 1-thread pin).
+    bc_a_panels = 8
+    n_cpus = spark.sparkContext.defaultParallelism
+    stage_dir = tempfile.mkdtemp(prefix="bstage_")
     t0 = time.perf_counter()
-    # generate B distributed and collect: this sandbox writes fresh pages
-    # at ~18 MB/s single-threaded (measured 115s for a 2 GB driver-side
-    # RNG) vs 7.7s distributed — generate where the cores are
+    n_staged = linalg.write_npy_panels(
+        linalg.random_row_panels(spark, bc_n, bc_n, max(bc_n // 4, 256), seed=7),
+        stage_dir,
+    )
+    t_stage = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    panels = linalg.random_row_panels(
+        spark, bc_n, bc_n, max(bc_n // bc_a_panels, 256), seed=8
+    )
+    linalg.matmul_broadcast_staged(
+        panels, stage_dir, blas_threads=max(1, n_cpus // bc_a_panels)
+    ).map(lambda kv: float(kv[1].sum())).sum()
+    results["matmul_broadcast"] = {
+        "n": bc_n,
+        "plan": "file-staged broadcast (executor-side build), zero shuffle",
+        "b_panels_staged": n_staged,
+        "stage_sec": round(t_stage, 3),
+        "sec": round(time.perf_counter() - t0, 3),
+        "gflops": round(2 * bc_n**3 / 1e9 / (time.perf_counter() - t0), 1),
+    }
+    shutil.rmtree(stage_dir, ignore_errors=True)
+
+    # the driver-broadcast path, kept measured at a size where its
+    # round-trip is benign (B = 128 MB) so the two build sides stay
+    # comparable round-over-round
+    drv_n = min(bc_n, 4_096)
+    t0 = time.perf_counter()
     b_local = np.vstack(
         [
             p
             for _, p in sorted(
                 linalg.random_row_panels(
-                    spark, bc_n, bc_n, max(bc_n // bc_panels, 256), seed=7
+                    spark, drv_n, drv_n, max(drv_n // 4, 256), seed=7
                 ).collect()
             )
         ]
     )
     t_gen = time.perf_counter() - t0
-    # bounded panel count, NOT one per core: every concurrent Python
-    # worker holds its own deserialized copy of the broadcast B, so
-    # concurrency × |B| must fit RAM — 32 workers thrashed at 16k
-    # (measured 468s vs 256s with 16)
     t0 = time.perf_counter()
-    panels = linalg.random_row_panels(spark, bc_n, bc_n, max(bc_n // bc_panels, 256), seed=8)
+    panels = linalg.random_row_panels(spark, drv_n, drv_n, max(drv_n // 4, 256), seed=8)
     linalg.matmul_broadcast(spark, panels, b_local).map(
         lambda kv: float(kv[1].sum())
     ).sum()
-    results["matmul_broadcast"] = {
-        "n": bc_n,
-        "plan": "broadcast operand, zero shuffle",
+    results["matmul_broadcast_driver"] = {
+        "n": drv_n,
+        "plan": "driver sc.broadcast build side (comparison row)",
         "gen_collect_sec": round(t_gen, 3),
         "sec": round(time.perf_counter() - t0, 3),
-        "gflops": round(2 * bc_n**3 / 1e9 / (time.perf_counter() - t0), 1),
+        "gflops": round(2 * drv_n**3 / 1e9 / (time.perf_counter() - t0), 1),
     }
 
     t0 = time.perf_counter()
