@@ -176,16 +176,32 @@ def matmul_broadcast(spark: SparkSession, a_panels: RDD, b: np.ndarray) -> RDD:
     return a_panels.mapValues(lambda p: p @ bb.value)
 
 
-def write_npy_panels(panels: RDD, dir_path: str) -> int:
-    """Stage an RDD of (idx, 2-D row panel) as ``<dir>/b_<idx>.npy``
-    files, written by the executors that hold each panel — no driver
-    round-trip. ``dir_path`` must be storage every executor can read
-    (this box: local disk; a cluster: NFS/HDFS-fuse/S3-mount — the same
-    contract as any shared-filesystem checkpoint). Returns panel count."""
+def stage_matrix(
+    panels: RDD, path: str, shape: tuple[int, int], panel_rows: int
+) -> int:
+    """Stage an RDD of (idx, 2-D row panel) as ONE ``.npy`` file on
+    shared storage, each executor task writing its disjoint row slice —
+    no driver round-trip. The driver creates the file as a SPARSE memmap
+    (header only, no pages faulted), then every panel task opens it
+    ``r+`` and assigns rows ``[idx*panel_rows, idx*panel_rows+len)``;
+    disjoint ranges make the concurrent writes race-free on any POSIX
+    filesystem (local disk here; NFS/Lustre/fuse mounts on a cluster).
+    Object stores don't allow ranged writes — there, write per-panel
+    objects and assemble per-executor instead; single-file is the fast
+    path because readers can mmap it (see :func:`_open_staged`).
+    Returns the number of panels written."""
+    n_rows, n_cols = shape
+    mm = np.lib.format.open_memmap(
+        path, mode="w+", dtype=np.float64, shape=(n_rows, n_cols)
+    )
+    del mm  # header written; body stays sparse until tasks fill it
 
     def save(kv) -> int:
         i, p = kv
-        np.save(f"{dir_path}/b_{i:05d}.npy", p)
+        out = np.lib.format.open_memmap(path, mode="r+")
+        out[i * panel_rows : i * panel_rows + p.shape[0]] = p
+        out.flush()
+        del out
         return 1
 
     return panels.map(save).sum()
@@ -225,60 +241,58 @@ def _blas_thread_ctl() -> tuple:
     return _BLAS_CTL
 
 
-# Per-process cache of assembled staged matrices: with
-# spark.python.worker.reuse (default on) each worker pays the one-time
-# vstack ONCE and every later task against the same staging dir reuses
-# it — the python twin of Spark's per-executor broadcast-value cache.
+# Per-process cache of read-only memmaps of staged matrices: opening is
+# O(header) and, because every worker on a host maps the SAME file, the
+# kernel page cache holds ONE physical copy of B per host no matter how
+# many concurrent tasks multiply against it — the property sc.broadcast
+# only gives the JVM side. (A private np.load copy per worker was
+# measured at 332 s per task for 2.1 GB on this box — fresh-page faults
+# dominate — vs 0.0 s to mmap; SCALE.md §array.)
 _STAGED_CACHE: dict[str, np.ndarray] = {}
 
 
-def _load_staged(dir_path: str) -> np.ndarray:
-    b = _STAGED_CACHE.get(dir_path)
+def _open_staged(path: str) -> np.ndarray:
+    b = _STAGED_CACHE.get(path)
     if b is None:
-        import glob
-
-        files = sorted(glob.glob(f"{dir_path}/b_*.npy"))
-        b = np.vstack([np.load(f) for f in files]) if len(files) > 1 else np.load(files[0])
+        b = np.load(path, mmap_mode="r")
         _STAGED_CACHE.clear()  # hold at most one staged matrix per worker
-        _STAGED_CACHE[dir_path] = b
+        _STAGED_CACHE[path] = b
     return b
 
 
 def matmul_broadcast_staged(
-    a_panels: RDD, b_dir: str, blas_threads: int | None = None
+    a_panels: RDD, b_path: str, blas_threads: int | None = None
 ) -> RDD:
-    """C = A @ B with B staged as row-panel files on shared storage —
-    the broadcast join's executor-side build transposed to linalg, and
-    the scale path for multi-GB broadcast operands.
+    """C = A @ B with B staged as one ``.npy`` on shared storage — the
+    broadcast join's executor-side build transposed to linalg, and the
+    scale path for multi-GB broadcast operands.
 
-    Why not ``sc.broadcast``: measured on this box (SCALE.md §array),
-    a 2 GB B through the driver costs 300-600 s wall with most of it
-    serial (driver pickle + single-threaded MemoryStore ingest under GC
-    pressure + per-worker unpickle), and the cost varies run-to-run with
-    driver heap state. Staging the same bytes as executor-written .npy
-    files costs ~18 s once, and each worker assembles B from the page
-    cache in seconds. Each task then runs ONE full-width dgemm — also
-    measured: panel-wise accumulation (4 small dgemms + partial-C
-    traffic) runs ~3x slower than the single dgemm on this
-    memory-bandwidth-bound box, so the assemble-then-multiply shape is
-    deliberate, not a convenience.
+    Why not ``sc.broadcast``: measured on this box (SCALE.md §array), a
+    2 GB B through the driver costs 300-600 s wall, most of it serial
+    (driver pickle + single-threaded MemoryStore ingest under GC
+    pressure + a private unpickled copy per python worker), and the cost
+    varies run-to-run with driver heap state. Staging the same bytes
+    once via :func:`stage_matrix` and mmapping them read-only in every
+    task costs ~35 s END-TO-END for the 16,384² product that the
+    broadcast path ran in 298 s (250 vs 29 GFLOPS): no driver hop, no
+    per-worker copy (one page-cached B per host), and the dgemm streams
+    B straight out of the page cache.
 
     ``blas_threads``: per-task BLAS thread count for the dgemm. PySpark
     pins worker OMP_NUM_THREADS to spark.task.cpus (= 1) so the suite's
     32-way-concurrent tasks can't oversubscribe; this call runs FEWER,
     BIGGER tasks, so pass ~cores/concurrency to hand the idle cores to
-    each dgemm. Measured on this box (SCALE.md §array): aggregate dgemm
-    throughput peaks at 8 concurrent × 4 threads (136 GFLOPS, vs 81 at
-    16 × 1) — bandwidth-bound, so the split matters more than the
-    product. Set and restored around the dgemm only — worker reuse must
-    not leak the raised count into later 32-way stages.
+    each dgemm (measured in-worker: set(8) → 2.9× on a 2,048² dgemm;
+    8 panels × 4 threads saturates the 32-core box). Set and restored
+    around the dgemm only — worker reuse must not leak the raised count
+    into later 32-way stages.
 
     Reference basis: benchmark/matrix_multiplication.py:18-22 (the
     chunked matmul this accelerates when one operand is worker-sized).
     """
 
     def mult(p: np.ndarray) -> np.ndarray:
-        b = _load_staged(b_dir)
+        b = _open_staged(b_path)
         if blas_threads is None:
             return p @ b
         get, set_ = _blas_thread_ctl()

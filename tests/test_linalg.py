@@ -35,13 +35,16 @@ def test_matmul_broadcast_matches_numpy(spark):
 
 
 def test_matmul_broadcast_staged_matches_numpy(spark, tmp_path):
-    """The shared-storage build side: B staged as executor-written .npy
-    panels, assembled worker-side (and cached per process), one dgemm
-    per A panel — must equal the driver-broadcast path bit-for-bit."""
+    """The shared-storage build side: B staged as ONE .npy written
+    slice-wise by executor tasks (ragged last panel included), mmapped
+    read-only per worker, one dgemm per A panel — must equal the
+    driver-broadcast path bit-for-bit."""
+    b_path = str(tmp_path / "b.npy")
     b_panels = linalg.random_row_panels(spark, 40, 24, panel_rows=16, seed=2)
-    n_files = linalg.write_npy_panels(b_panels, str(tmp_path))
-    assert n_files == 3
+    n_panels = linalg.stage_matrix(b_panels, b_path, (40, 24), panel_rows=16)
+    assert n_panels == 3
     b_local = np.vstack([p for _, p in sorted(b_panels.collect())])
+    np.testing.assert_array_equal(np.load(b_path), b_local)
     a_panels = linalg.random_row_panels(spark, 60, 40, panel_rows=16, seed=1)
     a_local = np.vstack([p for _, p in sorted(a_panels.collect())])
     got = np.vstack(
@@ -51,7 +54,7 @@ def test_matmul_broadcast_staged_matches_numpy(spark, tmp_path):
                 # blas_threads exercises the runtime OpenBLAS override
                 # (set + restore); results must be unaffected by it
                 linalg.matmul_broadcast_staged(
-                    a_panels, str(tmp_path), blas_threads=2
+                    a_panels, b_path, blas_threads=2
                 ).collect()
             )
         ]

@@ -57,26 +57,29 @@ SIZES = {
     #   - 32,768² runs HERE via the zero-shuffle broadcast plan: round
     #     4 measured 1,596s compute (44.1 GFLOPS) + 589s generate/
     #     collect with B an 8.6 GB sc.broadcast to 8 workers (peak RSS
-    #     ~113 GB, checksum = analytic n³/4). Round 5's bandwidth
-    #     finding (see BCAST_MATMUL_N below + SCALE.md §array) moved
-    #     xlarge onto the file-staged build at 8-panel × 4-BLAS-thread
-    #     concurrency — no driver round-trip, bandwidth-optimal split.
+    #     ~113 GB, checksum = analytic n³/4). Round 5's mmap staging
+    #     (see BCAST_MATMUL_N below + SCALE.md §array) moved xlarge
+    #     onto the single-file page-cache-shared build at 8-panel ×
+    #     4-BLAS-thread concurrency — no driver round-trip, one
+    #     physical B per host.
     # Remaining BASELINE.md configs exceed the sandbox, not the design:
-    #   65,536² matmul = 34 GB/operand; the broadcast plan needs |B| ×
-    #   concurrent-worker copies (even 2 × 34 GB + panels + JVM ≈ RAM)
-    #   and the grid plan ≥ 270 GB of shuffled blocks vs 80 GB free
-    #   disk; TSQR 1M×4,096 = 32 GB of rows with 537 MB/chunk QR
-    #   workspaces × 32 concurrent ≈ the whole heap once serializer
-    #   copies are counted.
+    #   65,536² matmul: the mmap-staged broadcast plan FITS now (34 GB
+    #   B page-cache-shared + 8 × 8.6 GB panels ≈ 103 GB) but is
+    #   time-infeasible — 563 TFLOP at the measured 250 GFLOPS is ~40
+    #   min of dgemm alone; the grid plan needs ≥ 270 GB of shuffled
+    #   blocks vs 80 GB free disk. TSQR 1M×4,096 = 32 GB of rows with
+    #   537 MB/chunk QR workspaces × 32 concurrent ≈ the whole heap
+    #   once serializer copies are counted.
     # Block counts, not matrix size, bound per-task memory — the same
     # chunking at those sizes fits a 1000-executor cluster unchanged.
     "xlarge": ((16_384, 4_096), (1_048_576, 2_048, 64), (16_384, 4_096, 5)),
 }
 
-# broadcast-plan matmul size per scale (one operand built worker-side
-# from staged files, zero shuffle — viable whenever B fits executor
-# memory). xlarge's 32,768 runs at 8-panel concurrency: 8 × (8.6 GB B +
-# 1.1 GB A panel + 1.1 GB C panel) ≈ 86 GB, inside the 128 GiB box.
+# broadcast-plan matmul size per scale (one operand staged as a single
+# .npy and mmapped read-only by every task, zero shuffle — viable
+# whenever B fits a host's page cache). xlarge's 32,768 runs at 8-panel
+# concurrency: ONE 8.6 GB page-cached B + 8 × (1.1 GB A panel + 1.1 GB
+# C panel) ≈ 26 GB, comfortably inside the 128 GiB box.
 BCAST_MATMUL_N = {"small": 1_024, "medium": 4_096, "large": 16_384, "xlarge": 32_768}
 
 # kmeans samples / predict rows per scale (ref kmeans.py:22-28: 10M
@@ -113,16 +116,14 @@ def linalg_workloads(spark, scale: str = "small") -> dict:
     # old driver-broadcast flow (generate B distributed → collect 2 GB →
     # sc.broadcast) paid a SERIAL multi-GB driver round-trip whose cost
     # swung 183→596 s run-to-run with driver-heap state — that was the
-    # r03→r04 "regression". Staging B as executor-written .npy panels
-    # (shared storage on a cluster) removes the driver entirely.
-    # Concurrency 8 × 4 BLAS threads, not 32 × 1: this box's OpenBLAS is
-    # the DYNAMIC_ARCH Prescott (SSE3) kernel, memory-bandwidth-bound
-    # under concurrency — measured (no Spark, multiprocessing, identical
-    # 16,384×8,192×8,192 total work): 16 procs × 1 thr = 81 aggregate
-    # GFLOPS, 8 × 4 = 136 (peak), 4 × 8 = 121, 2 × 16 = 110; solo dgemm
-    # is 10.4 GFLOPS at 1 thread / 100 at 32. RAM: concurrency × (|B| +
-    # |A panel| + |C panel|) — 8 × 2.6 GB at 16k, 8 × 10.8 GB at 32k —
-    # must fit the box, and does.
+    # r03→r04 "regression". B is instead staged as ONE .npy on shared
+    # storage, written slice-wise by executor tasks, and every task
+    # mmaps it read-only: one page-cached physical copy per host, zero
+    # driver bytes, zero per-worker materialization. Measured here at
+    # 16,384²: 35 s end-to-end (250 GFLOPS) vs 298 s for the r04 driver
+    # broadcast and 384 s for a per-worker private-copy variant (this
+    # sandbox faults fresh pages at ~10 MB/s/worker — instrumented
+    # per-task: 332 s load + 70 s dgemm; the mmap opens in 0.0 s).
     # blas_threads: PySpark pins worker OMP_NUM_THREADS to
     # spark.task.cpus (= 1); at 8-task concurrency that strands 24 of 32
     # cores mid-dgemm. Hand each task cores/concurrency threads for the
@@ -131,10 +132,13 @@ def linalg_workloads(spark, scale: str = "small") -> dict:
     bc_a_panels = 8
     n_cpus = spark.sparkContext.defaultParallelism
     stage_dir = tempfile.mkdtemp(prefix="bstage_")
+    b_path = f"{stage_dir}/b.npy"
     t0 = time.perf_counter()
-    n_staged = linalg.write_npy_panels(
-        linalg.random_row_panels(spark, bc_n, bc_n, max(bc_n // 4, 256), seed=7),
-        stage_dir,
+    n_staged = linalg.stage_matrix(
+        linalg.random_row_panels(spark, bc_n, bc_n, max(bc_n // 8, 256), seed=7),
+        b_path,
+        (bc_n, bc_n),
+        max(bc_n // 8, 256),
     )
     t_stage = time.perf_counter() - t0
     t0 = time.perf_counter()
@@ -142,11 +146,11 @@ def linalg_workloads(spark, scale: str = "small") -> dict:
         spark, bc_n, bc_n, max(bc_n // bc_a_panels, 256), seed=8
     )
     linalg.matmul_broadcast_staged(
-        panels, stage_dir, blas_threads=max(1, n_cpus // bc_a_panels)
+        panels, b_path, blas_threads=max(1, n_cpus // bc_a_panels)
     ).map(lambda kv: float(kv[1].sum())).sum()
     results["matmul_broadcast"] = {
         "n": bc_n,
-        "plan": "file-staged broadcast (executor-side build), zero shuffle",
+        "plan": "file-staged mmap broadcast (executor-side build), zero shuffle",
         "b_panels_staged": n_staged,
         "stage_sec": round(t_stage, 3),
         "sec": round(time.perf_counter() - t0, 3),
