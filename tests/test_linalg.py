@@ -62,6 +62,29 @@ def test_matmul_broadcast_staged_matches_numpy(spark, tmp_path):
     np.testing.assert_allclose(got, a_local @ b_local, rtol=1e-10)
 
 
+def test_stage_matrix_edge_shapes(spark, tmp_path):
+    """Contract edges of the slice-wise writer: a matrix smaller than
+    one panel (single writer covers the whole file) and a 1-row B —
+    both must round-trip exactly and multiply correctly."""
+    one_panel = str(tmp_path / "one.npy")
+    panels = linalg.random_row_panels(spark, 5, 7, panel_rows=16, seed=4)
+    assert linalg.stage_matrix(panels, one_panel, (5, 7), panel_rows=16) == 1
+    np.testing.assert_array_equal(
+        np.load(one_panel), np.vstack([p for _, p in sorted(panels.collect())])
+    )
+
+    one_row = str(tmp_path / "row.npy")
+    rpan = linalg.random_row_panels(spark, 1, 3, panel_rows=1, seed=5)
+    assert linalg.stage_matrix(rpan, one_row, (1, 3), panel_rows=1) == 1
+    b_local = np.load(one_row)
+    a_panels = linalg.random_row_panels(spark, 4, 1, panel_rows=2, seed=6)
+    a_local = np.vstack([p for _, p in sorted(a_panels.collect())])
+    got = np.vstack(
+        [p for _, p in sorted(linalg.matmul_broadcast_staged(a_panels, one_row).collect())]
+    )
+    np.testing.assert_allclose(got, a_local @ b_local, rtol=1e-12)
+
+
 def test_tsqr_svd_tall_skinny(spark):
     rng = np.random.RandomState(0)
     mat = rng.random_sample((300, 8))
