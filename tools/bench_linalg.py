@@ -58,10 +58,10 @@ SIZES = {
     #     4 measured 1,596s compute (44.1 GFLOPS) + 589s generate/
     #     collect with B an 8.6 GB sc.broadcast to 8 workers (peak RSS
     #     ~113 GB, checksum = analytic n³/4). Round 5's mmap staging
-    #     (see BCAST_MATMUL_N below + SCALE.md §array) moved xlarge
-    #     onto the single-file page-cache-shared build at 8-panel ×
-    #     4-BLAS-thread concurrency — no driver round-trip, one
-    #     physical B per host.
+    #     (see BCAST_MATMUL_N below + SCALE.md §array) re-probed it at
+    #     **365s compute = 192.7 GFLOPS + 173s staging** — 8-panel ×
+    #     4-BLAS-thread concurrency, no driver round-trip, one
+    #     physical B per host, checksum = n³/4 again.
     # Remaining BASELINE.md configs exceed the sandbox, not the design:
     #   65,536² matmul: the mmap-staged broadcast plan FITS now (34 GB
     #   B page-cache-shared + 8 × 8.6 GB panels ≈ 103 GB) but is
