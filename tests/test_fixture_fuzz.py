@@ -663,3 +663,86 @@ def test_refresh_layout_generated_fixture_matches_oracle(
         {"orders": orders, "lineitem": lineitem},
         tmp_path_factory.mktemp("refreshfuzz"),
     )
+
+
+# ---------------------------------------------------------------------------
+# graph fuzz: hostile co-occurrence topologies for the triangle census,
+# degree histogram and PageRank. The shapes a 100 TB social graph makes
+# certain: a clique whose equal degrees force the orientation onto its
+# id tie-break, a star hub (wedges but zero triangles), a mega-cell one
+# over CELL_CAP that both engines must DROP, duplicate memberships the
+# DISTINCT must fold, a wedge-free graph (gcc = NULL, not a crash), and
+# a graph with no edges at all (empty results / NULL aggregate parity).
+# ---------------------------------------------------------------------------
+
+GRAPH_OPS = ["graph_triangles", "graph_degree_hist", "graph_pagerank"]
+
+
+def _graph_events(shape: str) -> pd.DataFrame:
+    from dask_distributed_vanilla_spark.operators.graph import CELL_CAP
+
+    t0 = pd.Timestamp("2024-03-01 10:00:00")
+    rows = []
+
+    def cell(users, minute, etype="click", repeat=1):
+        for _ in range(repeat):  # duplicate memberships: DISTINCT must fold
+            for u in users:
+                rows.append(
+                    {
+                        "ts": t0 + pd.to_timedelta(minute, unit="min"),
+                        "user_id": int(u),
+                        "event_type": etype,
+                    }
+                )
+
+    if shape == "mixed":
+        cell(range(1, 9), 0, repeat=2)  # 8-clique, equal degrees -> id tie-break
+        for i, leaf in enumerate(range(101, 111)):
+            cell([100, leaf], 1 + i)  # star: 10 wedge pairs, 0 triangles
+        cell([200, 201], 30)  # isolated edge
+        cell([300], 31)  # singleton cell: not a node
+        cell(range(1000, 1000 + CELL_CAP + 1), 32, etype="view")  # dropped
+        cell([1, 2], 33, etype="view")  # same users, other type: own edge
+    elif shape == "wedge_free":
+        cell([1, 2], 0)
+        cell([3, 4], 1, etype="view")  # two disjoint edges: 0 wedges, gcc NULL
+    elif shape == "edgeless":
+        for u in range(1, 6):
+            cell([u], u)  # singleton cells only: empty edge set
+    else:  # pragma: no cover - guard against typoed parametrize ids
+        raise ValueError(shape)
+
+    df = pd.DataFrame(rows)
+    df["event_id"] = range(len(df))
+    df["value"] = 1.0
+    df["props"] = '{"k": 1}'
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df = df.astype({"user_id": "int64", "event_id": "int64"})
+    return df[["event_id", "ts", "user_id", "event_type", "value", "props"]]
+
+
+@pytest.mark.parametrize("name", GRAPH_OPS)
+@pytest.mark.parametrize("shape", ["mixed", "wedge_free", "edgeless"])
+def test_graph_hostile_topologies_match_oracle(
+    spark, tmp_path_factory, name, shape
+):
+    _run_pair(
+        spark, name, _graph_events(shape), tmp_path_factory.mktemp("graphfuzz")
+    )
+
+
+def test_graph_triangle_census_known_counts(spark, tmp_path):
+    """The mixed topology has a closed-form census: the 8-clique is the
+    only triangle source (C(8,3) = 56); the star contributes C(10,2) =
+    45 wedges and none; the mega-cell must contribute NOTHING."""
+    d = tmp_path / "census"
+    d.mkdir()
+    _graph_events("mixed").to_parquet(d / "events.parquet")
+    row = REG_QUERIES["graph_triangles"](spark, str(d)).collect()[0]
+    assert row.n_triangles == 56
+    assert row.n_nodes == 8 + 11 + 2  # clique + star + isolated pair
+    # the view-type (1,2) cell duplicates a clique edge: DISTINCT folds
+    # it, and the dropped mega-cell contributes nothing
+    assert row.n_edges == 28 + 10 + 1  # clique + star + isolated pair
+    # wedges: clique 8*C(7,2)=168, star hub C(10,2)=45; leaves/pair deg 1
+    assert row.n_wedges == 168 + 45
