@@ -746,3 +746,95 @@ def test_graph_triangle_census_known_counts(spark, tmp_path):
     assert row.n_edges == 28 + 10 + 1  # clique + star + isolated pair
     # wedges: clique 8*C(7,2)=168, star hub C(10,2)=45; leaves/pair deg 1
     assert row.n_wedges == 168 + 45
+
+
+# ---------------------------------------------------------------------------
+# data-quality governance fuzz: dq_profile (column profile of orders)
+# and dq_kanon (k-anonymity audit of customer) on the degenerate inputs
+# a governance gate sees daily at 100 TB: all-NULL columns, NULL
+# quasi-identifier keys (NULL is a GROUP on both engines), k=1
+# everywhere, one giant equivalence class, and empty tables (NULL
+# aggregate parity). dq_drift/benford/ks are fuzzed above via the
+# hypothesis event tables; these two were the family's uncovered half.
+# ---------------------------------------------------------------------------
+
+
+def _orders_fixture(shape: str) -> pd.DataFrame:
+    if shape == "empty":
+        return pd.DataFrame(
+            {
+                "o_orderkey": pd.Series([], dtype="int64"),
+                "o_custkey": pd.Series([], dtype="Int64"),
+                "o_orderstatus": pd.Series([], dtype="object"),
+                "o_totalprice": pd.Series([], dtype="float64"),
+                "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+            }
+        )
+    rows = []
+    for k in range(40):
+        rows.append(
+            {
+                "o_orderkey": k,
+                # every third custkey NULL; duplicates across the rest
+                "o_custkey": None if k % 3 == 0 else k % 4,
+                # an ALL-NULL column exercises min/max/distinct over
+                # nothing (NULL, NULL, 0 — not a crash, not -inf)
+                "o_orderstatus": None,
+                # negative totals (refund ledgers) and the .xx5 grid
+                "o_totalprice": round(-250.005 + 12.5 * k, 2),
+                "o_orderdate": (
+                    pd.NaT
+                    if k % 7 == 0
+                    else pd.Timestamp("1995-06-01")
+                    + pd.to_timedelta(k % 5, unit="D")
+                ),
+            }
+        )
+    df = pd.DataFrame(rows)
+    df["o_custkey"] = df["o_custkey"].astype("Int64")
+    df["o_orderdate"] = df["o_orderdate"].astype("datetime64[us]")
+    return df
+
+
+def _customer_fixture(shape: str) -> pd.DataFrame:
+    rows = []
+    if shape == "unique_qi":  # k = 1 everywhere: worst re-identification
+        for i in range(12):
+            rows.append({"c_custkey": i, "c_nationkey": i, "c_mktsegment": f"SEG{i}"})
+    elif shape == "one_class":  # a single giant equivalence class
+        for i in range(50):
+            rows.append({"c_custkey": i, "c_nationkey": 7, "c_mktsegment": "AUTOMOBILE"})
+    else:  # null_qi: NULL nation/segment keys form their own classes
+        for i in range(30):
+            rows.append(
+                {
+                    "c_custkey": i,
+                    "c_nationkey": None if i % 5 == 0 else i % 3,
+                    "c_mktsegment": None if i % 4 == 0 else "BUILDING",
+                }
+            )
+    df = pd.DataFrame(rows)
+    df["c_nationkey"] = df["c_nationkey"].astype("Int32")
+    df["c_name"] = "Customer#" + df["c_custkey"].astype(str)
+    df["c_acctbal"] = 100.0
+    return df
+
+
+@pytest.mark.parametrize("shape", ["hostile", "empty"])
+def test_dq_profile_degenerate_orders_match_oracle(spark, tmp_path_factory, shape):
+    _run_multi_table_pair(
+        spark,
+        "dq_profile",
+        {"orders": _orders_fixture(shape)},
+        tmp_path_factory.mktemp("dqfuzz"),
+    )
+
+
+@pytest.mark.parametrize("shape", ["unique_qi", "one_class", "null_qi"])
+def test_dq_kanon_degenerate_customers_match_oracle(spark, tmp_path_factory, shape):
+    _run_multi_table_pair(
+        spark,
+        "dq_kanon",
+        {"customer": _customer_fixture(shape)},
+        tmp_path_factory.mktemp("dqfuzz"),
+    )
