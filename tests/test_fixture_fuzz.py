@@ -838,3 +838,78 @@ def test_dq_kanon_degenerate_customers_match_oracle(spark, tmp_path_factory, sha
         {"customer": _customer_fixture(shape)},
         tmp_path_factory.mktemp("dqfuzz"),
     )
+
+
+def _audit_tables(shape: str) -> dict:
+    customer = pd.DataFrame({"c_custkey": pd.Series([1, 2, 3], dtype="int64")})
+    if shape == "empty_lineitem":
+        orders = pd.DataFrame(
+            {
+                "o_orderkey": pd.Series([1], dtype="int64"),
+                "o_custkey": pd.Series([1], dtype="Int64"),
+                "o_totalprice": pd.Series([10.0], dtype="float64"),
+            }
+        )
+        lineitem = pd.DataFrame(
+            {
+                "l_orderkey": pd.Series([], dtype="int64"),
+                "l_quantity": pd.Series([], dtype="float64"),
+                "l_discount": pd.Series([], dtype="float64"),
+                "l_shipdate": pd.Series([], dtype="datetime64[us]"),
+            }
+        )
+        return {"orders": orders, "lineitem": lineitem, "customer": customer}
+    # hostile: duplicate PKs, NULL custkey (the anti-join's NULL-never-
+    # matches path on Spark must agree with NOT EXISTS' NULL semantics
+    # on DuckDB), an orphan custkey, zero/negative prices, orphan
+    # lineitems, qty/discount exactly ON and just past the contract
+    # boundaries, NaT shipdates
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": pd.Series([1, 1, 2, 3, 4], dtype="int64"),
+            "o_custkey": pd.Series([1, 1, None, 99, 2], dtype="Int64"),
+            "o_totalprice": pd.Series([10.0, 0.0, -5.5, 20.0, 30.0], dtype="float64"),
+        }
+    )
+    lineitem = pd.DataFrame(
+        {
+            "l_orderkey": pd.Series([1, 2, 777, 3, 4, 4], dtype="int64"),
+            "l_quantity": pd.Series([1.0, 50.0, 0.0, 51.0, 25.0, 0.5], dtype="float64"),
+            "l_discount": pd.Series([0.0, 0.1, 0.11, -0.01, 0.05, 0.1], dtype="float64"),
+            "l_shipdate": pd.Series(
+                [pd.Timestamp("1995-01-01")] * 4 + [pd.NaT, pd.NaT],
+                dtype="datetime64[us]",
+            ),
+        }
+    )
+    return {"orders": orders, "lineitem": lineitem, "customer": customer}
+
+
+@pytest.mark.parametrize("shape", ["hostile", "empty_lineitem"])
+def test_dq_audit_contract_violations_match_oracle(spark, tmp_path_factory, shape):
+    _run_multi_table_pair(
+        spark, "dq_audit", _audit_tables(shape), tmp_path_factory.mktemp("dqfuzz")
+    )
+
+
+def test_dq_audit_hostile_counts_are_exact(spark, tmp_path):
+    """The hostile fixture has closed-form violation counts — pin them
+    so the audit counts violations, not rows-that-happen-to-join."""
+    d = tmp_path / "audit"
+    d.mkdir()
+    for tname, tdf in _audit_tables("hostile").items():
+        tdf.to_parquet(d / f"{tname}.parquet")
+    got = {
+        r.check_name: r.n_violations
+        for r in REG_QUERIES["dq_audit"](spark, str(d)).collect()
+    }
+    assert got == {
+        "orders_dup_pk": 1,  # key 1 twice
+        "lineitem_orphan_fk": 1,  # l_orderkey 777
+        "orders_orphan_custkey": 2,  # custkey 99 and the NULL custkey
+        "orders_nonpositive_price": 2,  # 0.0 and -5.5
+        "orders_null_custkey": 1,
+        "lineitem_qty_out_of_range": 3,  # 0.0, 51.0, 0.5 (1 and 50 pass)
+        "lineitem_discount_out_of_range": 2,  # 0.11, -0.01 (0.1 passes)
+        "lineitem_null_shipdate": 2,
+    }
