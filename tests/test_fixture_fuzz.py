@@ -913,3 +913,79 @@ def test_dq_audit_hostile_counts_are_exact(spark, tmp_path):
         "lineitem_discount_out_of_range": 2,  # 0.11, -0.01 (0.1 passes)
         "lineitem_null_shipdate": 2,
     }
+
+
+# ---------------------------------------------------------------------------
+# temporal-join fuzz: the as-of join and the banded proximity join on
+# tie-heavy fixtures. Equal timestamps are the classic cross-engine
+# divergence surface for ASOF semantics (which side wins the instant?),
+# and the banded join's bucket edges (ts exactly on a window multiple,
+# deltas exactly AT the window bound) are where the explode ±1 trick
+# must be airtight.
+# ---------------------------------------------------------------------------
+
+
+def _temporal_events() -> pd.DataFrame:
+    t0 = pd.Timestamp("2024-05-01 00:00:00")
+    rows = []
+
+    def add(eid, sec, etype, uid, value=10.0):
+        rows.append(
+            {
+                "event_id": eid,
+                "ts": t0 + pd.to_timedelta(sec, unit="s"),
+                "user_id": uid,
+                "event_type": etype,
+                "value": value,
+                "props": "{}",
+            }
+        )
+
+    # user 1: purchase and click at the SAME instant (the tie), then two
+    # purchases sharing one later instant (event_id tiebreak), then a
+    # click after both
+    add(1, 100.0, "purchase", 1, 50.0)
+    add(2, 100.0, "click", 1)
+    add(3, 200.0, "purchase", 1, 60.0)
+    add(4, 200.0, "purchase", 1, 70.0)
+    add(5, 300.0, "click", 1)
+    # user 2: click BEFORE any purchase (NULL as-of), purchase after
+    add(6, 10.0, "click", 2)
+    add(7, 20.0, "purchase", 2, 5.005)  # .xx5 display-rounding grid
+    add(8, 30.0, "click", 2)
+    # user 3: purchases only (drops out of the click-side result)
+    add(9, 40.0, "purchase", 3, 1.0)
+    # proximity traps on type "view": a pair exactly AT the 60 s bound,
+    # a pair 1 µs past it, duplicate instants (delta 0), and a pair
+    # straddling a bucket boundary (59.999999 apart across a multiple
+    # of 60)
+    add(20, 0.0, "view", 9)
+    add(21, 60.0, "view", 9)          # exactly 60 s from 20: INCLUDED
+    add(22, 120.000001, "view", 9)    # 60.000001 from 21: EXCLUDED
+    add(23, 120.000001, "view", 9)    # delta 0 duplicate instant
+    add(24, 179.999999, "view", 9)    # 59.999998 from 22/23, crosses 180
+    df = pd.DataFrame(rows)
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    return df.astype({"event_id": "int64", "user_id": "int64"})
+
+
+@pytest.mark.parametrize("name", ["e9_asof", "e12_proximity", "e31_interval_join"])
+def test_temporal_join_ties_match_oracle(spark, tmp_path_factory, name):
+    _run_pair(spark, name, _temporal_events(), tmp_path_factory.mktemp("tempfuzz"))
+
+
+def test_proximity_window_bound_is_inclusive(spark, tmp_path):
+    """Pin the boundary semantics: delta == 60s is a pair, 60.000001s is
+    not, and duplicate instants pair at delta 0."""
+    d = tmp_path / "prox"
+    d.mkdir()
+    _temporal_events().to_parquet(d / "events.parquet")
+    out = REG_QUERIES["e12_proximity"](spark, str(d)).toPandas()
+    view_pairs = {
+        (r.event_a, r.event_b): r.delta_ms
+        for r in out[out.event_type == "view"].itertuples()
+    }
+    assert view_pairs[(20, 21)] == 60_000  # exactly at the bound
+    assert (21, 22) not in view_pairs      # 1 µs past the bound
+    assert view_pairs[(22, 23)] == 0       # duplicate instant
+    assert view_pairs[(22, 24)] == 59_999  # µs floor to ms, crosses bucket
