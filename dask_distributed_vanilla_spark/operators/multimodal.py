@@ -300,15 +300,22 @@ def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-# The payload is encode(text, 'UTF-8') and the fixture text is ASCII, so
-# byte k == ascii(char k) and SQL recomputes the identical windows.
+# The payload is encode(text, 'UTF-8'); the oracle re-derives the SAME
+# bytes via hex(encode(text)) + hex-digit arithmetic, so it is byte-true
+# on ANY text (multibyte included — fuzz-pinned), not just ASCII where
+# byte k == ascii(char k).
 MULTIMODAL_AUDIO_SQL = f"""
-WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
-w AS (SELECT doc_id, text, n,
+WITH t AS (SELECT doc_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS n
+           FROM documents),
+w AS (SELECT doc_id, hx, n,
              unnest(generate_series(0, CAST(n // {AUDIO_WIN} AS INT) - 1)) AS wi
       FROM t WHERE n >= {AUDIO_WIN}),
 s AS (SELECT doc_id, wi,
-             ascii(substr(text, CAST(wi * {AUDIO_WIN} + i AS INT), 1)) AS x
+             (strpos('0123456789ABCDEF',
+                     substr(hx, CAST((wi * {AUDIO_WIN} + i - 1) * 2 + 1 AS INT), 1)) - 1) * 16
+             + (strpos('0123456789ABCDEF',
+                       substr(hx, CAST((wi * {AUDIO_WIN} + i - 1) * 2 + 2 AS INT), 1)) - 1) AS x
       FROM w, UNNEST(generate_series(1, {AUDIO_WIN})) AS u(i)),
 r AS (SELECT doc_id, wi, sqrt(AVG(CAST(x AS DOUBLE) * x)) AS rms
       FROM s GROUP BY 1, 2),

@@ -989,3 +989,73 @@ def test_proximity_window_bound_is_inclusive(spark, tmp_path):
     assert (21, 22) not in view_pairs      # 1 µs past the bound
     assert view_pairs[(22, 23)] == 0       # duplicate instant
     assert view_pairs[(22, 24)] == 59_999  # µs floor to ms, crosses bucket
+
+
+# ---------------------------------------------------------------------------
+# multimodal fuzz: the payload is encode(text,'UTF-8'), so multibyte
+# text is where byte semantics and character semantics split. This
+# corpus found (and now pins the fix for) a real divergence: the
+# audio-RMS oracle originally indexed CHARACTERS via ascii(substr(..)),
+# valid only on ASCII; it is now byte-true via hex(encode(text)). The
+# long CJK/emoji docs push past AUDIO_WIN so the windowed-RMS path runs
+# on genuine multibyte payloads, not just the n_windows=0 shortcut.
+# ---------------------------------------------------------------------------
+
+MULTIMODAL_OPS = [
+    "multimodal_decode",
+    "multimodal_frames",
+    "multimodal_digest",
+    "multimodal_resize",
+    "multimodal_audio_rms",
+]
+
+
+def _multibyte_documents() -> pd.DataFrame:
+    texts = [
+        "hello world plain ascii",
+        "naïve café résumé",  # 2-byte accents
+        "日本語のテキストです",  # 3-byte CJK
+        "emoji 🎉🎊 party 🚀",  # 4-byte emoji
+        "",  # empty payload: zero samples, zero windows
+        "中文字符" * 80,  # 960 bytes of 3-byte chars: 3 full RMS windows
+        "🚀" * 70,  # 280 bytes of 4-byte emoji: window cut mid-codepoint
+        "a" * 255,  # one byte short of a window
+        "b" * 256,  # exactly one window
+    ]
+    df = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": "en",
+            "source": "src0",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    return df
+
+
+@pytest.mark.parametrize("name", MULTIMODAL_OPS)
+def test_multimodal_multibyte_payloads_match_oracle(spark, tmp_path_factory, name):
+    from dask_distributed_vanilla_spark.operators import multimodal as mm
+
+    _run_doc_pair(
+        spark, name, mm, _multibyte_documents(), tmp_path_factory.mktemp("mmfuzz")
+    )
+
+
+def test_audio_rms_windows_cover_multibyte_payloads(spark, tmp_path):
+    """Pin byte (not character) semantics: 80 three-byte CJK chars are
+    240 chars but 960 bytes — 3 windows, and 70 four-byte emoji are 280
+    bytes — 1 window cut mid-codepoint."""
+    d = tmp_path / "mb"
+    d.mkdir()
+    _multibyte_documents().to_parquet(d / "documents.parquet")
+    out = {
+        r.doc_id: (r.n_samples, r.n_windows)
+        for r in REG_QUERIES["multimodal_audio_rms"](spark, str(d)).collect()
+    }
+    assert out[5] == (960, 3)
+    assert out[6] == (280, 1)
+    assert out[7] == (255, 0)
+    assert out[8] == (256, 1)
+    assert out[4] == (0, 0)
