@@ -229,6 +229,11 @@ HOSTILE_TEXTS = [
     "x",  # single char
     "the the the the the the",  # pure repetition
     "   leading and   multi   spaces ",
+    # multibyte: where byte length and character length split (the
+    # divergence class the audio-RMS oracle fix pinned down)
+    "naïve café résumé",
+    "日本語のテキストです",
+    "emoji 🎉🎊 party 🚀",
 ]
 LANGS = ["en", "de", "fr", "es", "zh"]
 
