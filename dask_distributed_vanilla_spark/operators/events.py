@@ -283,7 +283,15 @@ def e11_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_distributed_vanilla_spark.functions.rounding import round2
 
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    # Hostile-props hardening (fuzz-found): ANSI cast of a non-integer
+    # property ('3.9', 'true', nested JSON) kills the whole job, and at
+    # corpus scale one producer emitting floats is a certainty. The
+    # contract is "integer-typed property or NULL": gate on integer
+    # shape, then try_cast so overflow is NULL too. The regex gate also
+    # keeps the oracle portable — DuckDB's TRY_CAST ROUNDS '3.9' to 4
+    # where Spark's yields NULL, so an unguarded try_cast diverges.
+    s = F.get_json_object(F.col("props"), "$.k")
+    k = F.when(s.rlike(r"^-?[0-9]+$"), s).try_cast("int")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -305,8 +313,12 @@ SELECT event_type,
        MIN(k) AS min_k, MAX(k) AS max_k,
        FLOOR(AVG(k) * 100 + 0.5) / 100 AS avg_k
 FROM (SELECT event_type,
-             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
-      FROM events)
+             TRY_CAST(CASE WHEN regexp_matches(s, '^-?[0-9]+$') THEN s END
+                      AS INTEGER) AS k
+      FROM (SELECT event_type,
+                   json_extract_string(
+                     CASE WHEN json_valid(props) THEN props END, '$.k') AS s
+            FROM events))
 GROUP BY 1 ORDER BY 1
 """
 

@@ -1064,3 +1064,32 @@ def test_audio_rms_windows_cover_multibyte_payloads(spark, tmp_path):
     assert out[7] == (255, 0)
     assert out[8] == (256, 1)
     assert out[4] == (0, 0)
+
+
+def test_e11_json_hostile_props_match_oracle(spark, tmp_path_factory):
+    """Fuzz-found ANSI crash class, pinned: a float-typed, boolean,
+    nested, non-JSON, empty or NULL props value must yield NULL (one
+    bad producer cannot kill the job), and DuckDB's float-rounding
+    TRY_CAST must not diverge from Spark's NULL on '3.9' — both engines
+    gate on integer shape before casting."""
+    props = [
+        '{"k": 1}', '{"k": 2, "extra": [1,2,3]}', '{"k": "7"}',
+        '{"k": null}', '{"j": 5}', '{}', '', 'not json at all',
+        '{"k": 3.9}', '{"k": {"nested": 1}}', '{"k": true}',
+        '{"k": "日本"}', None, '[1,2,3]', '{"k": -4}',
+        '{"k": 99999999999999999999}',  # integer shape, overflows INT
+    ]
+    rows = [
+        {
+            "event_id": i,
+            "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(i, unit="s"),
+            "user_id": i % 3,
+            "event_type": ["click", "view"][i % 2],
+            "value": 1.0,
+            "props": p,
+        }
+        for i, p in enumerate(props)
+    ]
+    df = pd.DataFrame(rows)
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    _run_pair(spark, "e11_json", df, tmp_path_factory.mktemp("jsonfuzz"))
