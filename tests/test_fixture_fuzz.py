@@ -60,6 +60,24 @@ FUZZED_OPS = [
     "dq_drift",
     "dq_benford",
     "dq_ks",
+    # round-5 additions — the boundary-semantics set: percentile
+    # interpolation on tiny/tied groups, time-RANGE frames, histogram
+    # bin edges on the .xx5 grid, rank ties, full-outer NULL sides,
+    # funnel/retention window edges, regression on near-constant x,
+    # equal-depth ntile ties, Markov transitions, gap-fill resampling,
+    # and the A/B t-stat on degenerate variants
+    "e10_percentiles",
+    "e15_range_window",
+    "e16_histogram",
+    "e17_ranks",
+    "e19_full_outer",
+    "e20_funnel",
+    "e24_regression",
+    "e25_eqdepth",
+    "e26_retention",
+    "e29_transitions",
+    "e32_resample_ffill",
+    "e35_abtest",
 ]
 
 # Gap pool (seconds) chosen adversarially: fractions that land minute
