@@ -1111,3 +1111,66 @@ def test_e11_json_hostile_props_match_oracle(spark, tmp_path_factory):
     df = pd.DataFrame(rows)
     df["ts"] = df["ts"].astype("datetime64[us]")
     _run_pair(spark, "e11_json", df, tmp_path_factory.mktemp("jsonfuzz"))
+
+
+# ---------------------------------------------------------------------------
+# orders-analytics fuzz: the Pareto concentration query (whose 80%
+# threshold boundary was a round-4 ADVICE finding) and RFM quantile
+# segmentation, pinned on the tie shapes that break rank/cumulative
+# arithmetic: all-equal totals (every quantile boundary a tie), a
+# cumulative share landing EXACTLY on 0.80 at a customer boundary, and
+# a single-customer table (all quantiles collapse to one row).
+# ---------------------------------------------------------------------------
+
+
+def _pareto_orders(shape: str) -> pd.DataFrame:
+    rows = []
+    if shape == "ties":
+        for k in range(20):
+            rows.append(
+                {
+                    "o_orderkey": k,
+                    "o_custkey": k % 10,
+                    "o_totalprice": 100.0,
+                    "o_orderdate": pd.Timestamp("1995-06-01"),
+                    "o_orderstatus": "F",
+                }
+            )
+    elif shape == "pareto_edge":
+        totals = [40.0, 40.0, 10.0, 5.0, 5.0]  # cum shares: .4 .8 .9 .95 1.0
+        for i, t in enumerate(totals):
+            rows.append(
+                {
+                    "o_orderkey": i,
+                    "o_custkey": i,
+                    "o_totalprice": t,
+                    "o_orderdate": pd.Timestamp("1995-06-01") + pd.Timedelta(days=i),
+                    "o_orderstatus": "O",
+                }
+            )
+    else:  # single customer
+        rows.append(
+            {
+                "o_orderkey": 0,
+                "o_custkey": 0,
+                "o_totalprice": 1.0,
+                "o_orderdate": pd.Timestamp("1995-06-01"),
+                "o_orderstatus": "O",
+            }
+        )
+    df = pd.DataFrame(rows)
+    df["o_orderdate"] = df["o_orderdate"].astype("datetime64[us]")
+    return df
+
+
+@pytest.mark.parametrize("name", ["orders_pareto", "rfm_segments"])
+@pytest.mark.parametrize("shape", ["ties", "pareto_edge", "single"])
+def test_orders_analytics_tie_shapes_match_oracle(
+    spark, tmp_path_factory, name, shape
+):
+    _run_multi_table_pair(
+        spark,
+        name,
+        {"orders": _pareto_orders(shape)},
+        tmp_path_factory.mktemp("ordfuzz"),
+    )
