@@ -193,13 +193,19 @@ def e7_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_both.crossJoin(n_only_first).crossJoin(n_union)
 
 
+# u2 keys on the SECOND distinct type via OFFSET so a single-type corpus
+# leaves it EMPTY (the scalar subquery is NULL), matching the engine's
+# "missing second stream = empty set" semantics — a MIN/MAX formulation
+# silently aliased u2 to u1 there (fuzz-found on a one-type fixture)
 E7_SQL = """
 WITH t AS (SELECT event_type FROM (SELECT DISTINCT event_type FROM events)
            ORDER BY event_type LIMIT 2),
 u1 AS (SELECT DISTINCT user_id FROM events
-       WHERE event_type = (SELECT MIN(event_type) FROM t)),
+       WHERE event_type = (SELECT event_type FROM t
+                           ORDER BY event_type LIMIT 1)),
 u2 AS (SELECT DISTINCT user_id FROM events
-       WHERE event_type = (SELECT MAX(event_type) FROM t))
+       WHERE event_type = (SELECT event_type FROM t
+                           ORDER BY event_type LIMIT 1 OFFSET 1))
 SELECT
   (SELECT COUNT(*) FROM (SELECT * FROM u1 INTERSECT SELECT * FROM u2)) AS n_both,
   (SELECT COUNT(*) FROM (SELECT * FROM u1 EXCEPT SELECT * FROM u2)) AS n_only_first,

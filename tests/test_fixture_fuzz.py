@@ -78,6 +78,19 @@ FUZZED_OPS = [
     "e29_transitions",
     "e32_resample_ffill",
     "e35_abtest",
+    # reshape / grouping-set / set-op / window set (44/44 pre-probe
+    # green; e7's oracle needed the OFFSET second-type fix first)
+    "e13_pivot",
+    "e14_unpivot",
+    "e8_rollup",
+    "e22_cube",
+    "e1",
+    "e2",
+    "e3",
+    "e4",
+    "e5",
+    "e6_rolling",
+    "e7_setops",
 ]
 
 # Gap pool (seconds) chosen adversarially: fractions that land minute
@@ -1174,3 +1187,29 @@ def test_orders_analytics_tie_shapes_match_oracle(
         {"orders": _pareto_orders(shape)},
         tmp_path_factory.mktemp("ordfuzz"),
     )
+
+
+def test_setops_single_type_corpus_second_stream_is_empty(spark, tmp_path_factory):
+    """Fuzz-found oracle bug, pinned: with ONE distinct event type the
+    second population must be EMPTY (n_both 0, n_only_first = |u1|) —
+    a MIN/MAX second-type formulation silently aliased u2 to u1."""
+    rows = [
+        {
+            "event_id": i,
+            "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(i, unit="s"),
+            "user_id": i % 3,
+            "event_type": "click",
+            "value": 1.0,
+            "props": '{"k": 1}',
+        }
+        for i in range(12)
+    ]
+    df = pd.DataFrame(rows)
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    d = tmp_path_factory.mktemp("setopfuzz")
+    _run_pair(spark, "e7_setops", df, d)
+    dd = d / "pin"
+    dd.mkdir()
+    df.to_parquet(dd / "events.parquet")
+    row = REG_QUERIES["e7_setops"](spark, str(dd)).collect()[0]
+    assert (row.n_both, row.n_only_first, row.n_union) == (0, 3, 3)
