@@ -183,12 +183,27 @@ def stage_matrix(
     shared storage, each executor task writing its disjoint row slice —
     no driver round-trip. The driver creates the file as a SPARSE memmap
     (header only, no pages faulted), then every panel task opens it
-    ``r+`` and assigns rows ``[idx*panel_rows, idx*panel_rows+len)``;
-    disjoint ranges make the concurrent writes race-free on any POSIX
-    filesystem (local disk here; NFS/Lustre/fuse mounts on a cluster).
-    Object stores don't allow ranged writes — there, write per-panel
-    objects and assemble per-executor instead; single-file is the fast
-    path because readers can mmap it (see :func:`_open_staged`).
+    ``r+`` and assigns rows ``[idx*panel_rows, idx*panel_rows+len)``.
+
+    Concurrency contract: disjoint byte ranges are race-free on a
+    LOCAL (single-host) filesystem — the page cache serializes them —
+    and that is the only path this sandbox exercises. On NETWORK
+    mounts (NFS/fuse) writeback is page-granular with close-to-open
+    consistency, and panel boundaries (128-byte npy header + arbitrary
+    row offsets) are not page-aligned, so two clients flushing the
+    same boundary page can clobber each other's rows: on such mounts
+    either pad panels to page-aligned byte ranges or use the
+    per-panel-object layout below. Object stores don't allow ranged
+    writes at all — there, write per-panel objects and assemble
+    per-executor instead; single-file is the fast path because readers
+    can mmap it (see :func:`_open_staged`).
+
+    Lifecycle: the staged file is matrix-sized and disk is the
+    measured binding resource on this box (SCALE.md §array ceilings) —
+    the CALLER owns deletion. bench stages into a fresh ``mkdtemp``
+    and removes the whole directory after the multiply; re-staging new
+    contents at a reused path is safe for readers because
+    :func:`_open_staged` keys its memmap cache on (path, mtime, size).
     Returns the number of panels written."""
     n_rows, n_cols = shape
     mm = np.lib.format.open_memmap(
@@ -228,7 +243,10 @@ def _blas_thread_ctl() -> tuple:
         get = set_ = None
         libs_dir = os.path.join(os.path.dirname(os.path.dirname(np.__file__)), "numpy.libs")
         for lib in glob.glob(os.path.join(libs_dir, "libopenblas*")):
-            dll = ctypes.CDLL(lib)  # already mapped by numpy → same handle
+            try:
+                dll = ctypes.CDLL(lib)  # already mapped by numpy → same handle
+            except OSError:
+                continue  # unloadable candidate: fall through to (None, None)
             for sfx in ("64_", ""):  # ILP64 builds suffix every symbol
                 g = getattr(dll, f"openblas_get_num_threads{sfx}", None)
                 s = getattr(dll, f"openblas_set_num_threads{sfx}", None)
@@ -247,16 +265,23 @@ def _blas_thread_ctl() -> tuple:
 # many concurrent tasks multiply against it — the property sc.broadcast
 # only gives the JVM side. (A private np.load copy per worker was
 # measured at 332 s per task for 2.1 GB on this box — fresh-page faults
-# dominate — vs 0.0 s to mmap; SCALE.md §array.)
-_STAGED_CACHE: dict[str, np.ndarray] = {}
+# dominate — vs 0.0 s to mmap; SCALE.md §array.) Keyed on
+# (path, mtime_ns, size), not path alone: a reused python worker that
+# sees the same path re-staged with NEW contents must re-mmap, not
+# silently multiply against the stale mapping.
+_STAGED_CACHE: dict[tuple[str, int, int], np.ndarray] = {}
 
 
 def _open_staged(path: str) -> np.ndarray:
-    b = _STAGED_CACHE.get(path)
+    import os
+
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    b = _STAGED_CACHE.get(key)
     if b is None:
         b = np.load(path, mmap_mode="r")
         _STAGED_CACHE.clear()  # hold at most one staged matrix per worker
-        _STAGED_CACHE[path] = b
+        _STAGED_CACHE[key] = b
     return b
 
 

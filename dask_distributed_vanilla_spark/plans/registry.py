@@ -126,33 +126,57 @@ def _driver_judged() -> tuple[frozenset[str], frozenset[str], frozenset[str]]:
     return frozenset(judged), frozenset(no_oracle), frozenset(post_migration)
 
 
-# Round-4 portable-rounding migration (commits 3486089…8891d24) rewrote
-# the display rounding — engine AND oracle together — in 64 queries whose
-# official green rows predate the change (judged r01–r03, absent from
-# CORRECTNESS_r04.json). They re-earn their rows through rank 3 of the
-# window, highest-traffic families first: the ADVICE-flagged
-# stream_update_totals (max_by fix also landed post-row), then TPC-H
-# Tier A, Tier B, events, streaming twins, text, dedup/curation,
-# similarity/multimodal. A name leaves the queue the moment a
-# round-≥4 CORRECTNESS artifact contains it (see _driver_judged), so
-# this tuple never needs trimming — ~24 drain per round.
+# Re-certification queue: every query whose LATEST official driver row
+# predates round 4 — i.e. was judged on pre-rounding-migration code
+# (the migration, commits 3486089…8891d24, rewrote display rounding,
+# engine AND oracle together) or simply hasn't been re-judged since
+# r01–r03. Round 5's verdict counted 76 such names (74 oracle-backed +
+# the 2 rank-5 sketch twins) and asked that the rotation drain ALL of
+# them — the original 64-name tuple missed 34 stale names (a4/a13/a18,
+# b2/b4/b12/…, the r01 dedup/text/multimodal/stream_join sets), which
+# would have sat at rank 4 forever. The queue below is the COMPLETE
+# stale set, highest-traffic families first per the round-5 verdict
+# (Tier A, Tier B, events, streaming, then one slot each for the
+# judge-sampled later-family names, then the rest): the first 50 stale
+# names fill the r06 window, the remaining 24 drain in r07. A name
+# leaves the queue the moment a round-≥4 CORRECTNESS artifact contains
+# it (see _driver_judged), so this tuple never needs trimming — the 24
+# names that drained in r05 are retained at the front for the record
+# and rank 4 automatically.
 _ROUNDING_MIGRATION_RECERT = (
+    # drained in r05 (present in CORRECTNESS_r05.json → rank 4 now)
     "stream_update_totals",
     "a1", "a3", "a5", "a6", "a7", "a8", "a9",
     "a10", "a14", "a15", "a17", "a19", "a22",
     "b1", "b3", "b5", "b6", "b7", "b8", "b9",
-    "b10", "b11", "b14", "b15", "b17", "b19", "b22",
-    "e1", "e2", "e4", "e5", "e6_rolling", "e8_rollup", "e9_asof",
-    "e10_percentiles", "e11_json", "e13_pivot", "e14_unpivot",
-    "e15_range_window", "e16_histogram", "e17_ranks",
-    "stream_e1", "stream_dedup", "stream_enrich", "stream_session",
-    "stream_sliding", "stream_stateful", "stream_two_level",
-    "text_stats", "text_quality", "text_tfidf", "text_bm25",
-    "text_token_regex",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "cluster_best",
-    "curation_report", "doc_repetition",
+    "b10", "b11", "b14",
+    # --- r06 window (50): Tier A stragglers first ---
+    "a4", "a13", "a18",
+    # Tier B remainder
+    "b2", "b4", "b12", "b13", "b15", "b16", "b17",
+    "b18", "b19", "b20", "b21", "b22",
+    # events family
+    "e1", "e2", "e3", "e4", "e5", "e6_rolling", "e7_setops",
+    "e8_rollup", "e9_asof", "e10_percentiles", "e11_json",
+    "e12_proximity", "e13_pivot", "e14_unpivot", "e15_range_window",
+    "e16_histogram", "e17_ranks", "e19_full_outer", "e20_funnel",
+    # streaming twins
+    "stream_e1", "stream_dedup", "stream_enrich", "stream_join",
+    "stream_outer_join", "stream_session", "stream_sliding",
+    "stream_stateful", "stream_two_level",
+    # judge-sampled later-family names guaranteed an r06 slot
+    "dedup_minhash_lsh", "semdedup", "text_tfidf", "curation_report",
+    "multimodal_decode",
+    "text_stats", "text_quality",
+    # --- r07 tail (24) ---
+    "text_bm25", "text_token_regex", "text_bigrams",
+    "text_fingerprint", "text_langid",
+    "dedup_exact", "dedup_simhash", "dedup_cc", "dedup_ngram_jaccard",
+    "cluster_best", "chunk_dedup", "decontaminate", "doc_chunks",
+    "doc_pack", "doc_repetition", "redact_pii", "sample_stratified",
     "ann_cosine_topk", "ann_lsh_topk", "emb_centroids",
-    "embedding_near_dup", "multimodal_digest",
+    "embedding_near_dup", "multimodal_digest", "multimodal_frames",
+    "multimodal_resize",
 )
 _RECERT_INDEX = {n: i for i, n in enumerate(_ROUNDING_MIGRATION_RECERT)}
 

@@ -148,13 +148,14 @@ def linalg_workloads(spark, scale: str = "small") -> dict:
     linalg.matmul_broadcast_staged(
         panels, b_path, blas_threads=max(1, n_cpus // bc_a_panels)
     ).map(lambda kv: float(kv[1].sum())).sum()
+    elapsed = time.perf_counter() - t0
     results["matmul_broadcast"] = {
         "n": bc_n,
         "plan": "file-staged mmap broadcast (executor-side build), zero shuffle",
         "b_panels_staged": n_staged,
         "stage_sec": round(t_stage, 3),
-        "sec": round(time.perf_counter() - t0, 3),
-        "gflops": round(2 * bc_n**3 / 1e9 / (time.perf_counter() - t0), 1),
+        "sec": round(elapsed, 3),
+        "gflops": round(2 * bc_n**3 / 1e9 / elapsed, 1),
     }
     shutil.rmtree(stage_dir, ignore_errors=True)
 
@@ -179,12 +180,13 @@ def linalg_workloads(spark, scale: str = "small") -> dict:
     linalg.matmul_broadcast(spark, panels, b_local).map(
         lambda kv: float(kv[1].sum())
     ).sum()
+    elapsed = time.perf_counter() - t0
     results["matmul_broadcast_driver"] = {
         "n": drv_n,
         "plan": "driver sc.broadcast build side (comparison row)",
         "gen_collect_sec": round(t_gen, 3),
-        "sec": round(time.perf_counter() - t0, 3),
-        "gflops": round(2 * drv_n**3 / 1e9 / (time.perf_counter() - t0), 1),
+        "sec": round(elapsed, 3),
+        "gflops": round(2 * drv_n**3 / 1e9 / elapsed, 1),
     }
 
     t0 = time.perf_counter()
