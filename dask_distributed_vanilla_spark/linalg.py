@@ -200,11 +200,17 @@ def stage_matrix(
 
     Lifecycle: the staged file is matrix-sized and disk is the
     measured binding resource on this box (SCALE.md §array ceilings) —
-    the CALLER owns deletion. bench stages into a fresh ``mkdtemp``
-    and removes the whole directory after the multiply; re-staging new
-    contents at a reused path is safe for readers because
-    :func:`_open_staged` keys its memmap cache on (path, mtime, size).
-    Returns the number of panels written."""
+    the CALLER owns deletion. The PREFERRED lifecycle is a UNIQUE path
+    per staging (bench stages into a fresh ``mkdtemp`` and removes the
+    whole directory after the multiply): unique paths make reader
+    staleness impossible by construction. Re-staging new contents at a
+    REUSED path is additionally defended by :func:`_open_staged`
+    keying its memmap cache on (path, mtime_ns, size) — but that
+    fallback assumes the filesystem reports nanosecond-resolution
+    mtimes (true of ext4/xfs/tmpfs here); on a coarse-timestamp
+    filesystem a same-size re-stage landing in the same tick would hit
+    the stale mapping, so there use unique paths only. Returns the
+    number of panels written."""
     n_rows, n_cols = shape
     mm = np.lib.format.open_memmap(
         path, mode="w+", dtype=np.float64, shape=(n_rows, n_cols)
@@ -268,7 +274,10 @@ def _blas_thread_ctl() -> tuple:
 # dominate — vs 0.0 s to mmap; SCALE.md §array.) Keyed on
 # (path, mtime_ns, size), not path alone: a reused python worker that
 # sees the same path re-staged with NEW contents must re-mmap, not
-# silently multiply against the stale mapping.
+# silently multiply against the stale mapping. The key discriminates
+# same-size re-stages only because st_mtime_ns is nanosecond-granular
+# on this box's filesystems — callers on coarse-timestamp mounts must
+# use unique staging paths instead (stage_matrix docstring).
 _STAGED_CACHE: dict[tuple[str, int, int], np.ndarray] = {}
 
 

@@ -20,6 +20,8 @@ DF_CAP caps shingles. The edit-distance compare runs JVM-side
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -363,11 +365,18 @@ FROM stats
 #   2. connected components via UNROLLED min-label propagation with
 #      pointer jumping: each block does one edge-min round (covers +1
 #      hop, the plain-propagation guarantee) then one pointer jump
-#      (label := label-of-label, near-doubling in practice). 8 blocks
-#      guarantee diameter ≥ 8 outright and ~2^8 with the jumps; a
-#      final extra edge round feeds an error() guard, so an
-#      unconverged oracle RAISES instead of hashing a wrong answer —
-#      the same fixpoint-or-raise contract the engine enforces.
+#      (label := label-of-label). The GUARANTEED coverage of k blocks
+#      is diameter ≥ k (the edge rounds alone); the jumps add a
+#      data-order-dependent speedup that is only near-doubling when
+#      labels happen to chain — measured on adversarially key-ordered
+#      paths, 8 blocks converge at diameter ~100 but NOT at ~600, so
+#      treat the headroom as "a few hundred", not 2^8. A final extra
+#      edge round feeds an error() guard, so an unconverged oracle
+#      RAISES instead of hashing a wrong answer — the same
+#      fixpoint-or-raise contract the engine enforces. A raise is
+#      answered by RAISING THE BLOCK COUNT, not editing SQL:
+#      SPARK_GRAFT_ER_CC_BLOCKS=12 (each block is O(|edges|) oracle
+#      work, so over-provisioning is cheap and exact).
 # Every chained CTE is AS MATERIALIZED: DuckDB 1.0 inlines multiply-
 # referenced CTEs, and each block references its predecessor twice, so
 # un-materialized the plan (and its parquet handles) doubles per block.
@@ -387,7 +396,8 @@ def _cc_blocks(n_blocks: int) -> tuple[str, str]:
     return ",\n".join(parts), prev
 
 
-_CC_SQL, _CC_FINAL = _cc_blocks(8)
+_N_CC_BLOCKS = int(os.environ.get("SPARK_GRAFT_ER_CC_BLOCKS", "8"))
+_CC_SQL, _CC_FINAL = _cc_blocks(_N_CC_BLOCKS)
 
 ER_GOLDEN_RECORD_SQL = f"""
 WITH sigs AS MATERIALIZED (
@@ -414,7 +424,7 @@ conv AS (SELECT COUNT(*) AS n_changed
 labels AS (
   SELECT node AS c_custkey,
          CASE WHEN (SELECT n_changed FROM conv) > 0
-              THEN error('er_golden_record oracle: min-label propagation not converged in 8 doubling blocks')
+              THEN error('er_golden_record oracle: min-label propagation not converged in {_N_CC_BLOCKS} edge+jump blocks; re-run with SPARK_GRAFT_ER_CC_BLOCKS > {_N_CC_BLOCKS}')
               ELSE label END AS cluster_id
   FROM {_CC_FINAL}),
 g AS (

@@ -1620,6 +1620,17 @@ def e41_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|distinct values| rows, not |rows|). U and the normal-approx z
     are exact integer-ratio arithmetic until the final rounding, so
     both engines agree bit-for-bit.
+
+    Scale contract: the ordered window is |cells|-bounded ONLY when
+    the value domain is quantized (the fixture's `value` is 2-decimal,
+    so |cells| ≪ |rows|); on an unbounded continuous metric the cell
+    table degenerates to row count and the per-type window becomes the
+    bottleneck. Declared unbounded-domain path: pre-quantize the cell
+    key (`F.round(value, 2)` — or the resolution the test tolerates)
+    before the groupBy; ties introduced by quantization are handled
+    exactly by the tie-averaged-rank formula, so the statistic stays
+    well-defined. Fuzz-covered by
+    tests/test_fixture_fuzz.py::test_mannwhitney_continuous_domain.
     """
     from pyspark.sql import Window
 

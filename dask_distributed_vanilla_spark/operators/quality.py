@@ -393,6 +393,17 @@ def dq_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap in a single pass — counts are integers, so the CDF ratios and
     D are identical doubles on any engine. Work after the collapse is
     |distinct values|, not |rows|.
+
+    Scale contract: that |cells|-bound holds ONLY under a quantized
+    value domain (the fixture's `value` is 2-decimal); an unbounded
+    continuous metric makes |cells| ≈ |rows| and the per-type ordered
+    window the bottleneck. Declared unbounded-domain path: pre-quantize
+    the cell key (`F.round(value, k)`) — KS's D is |F₁−F₂| evaluated at
+    cell boundaries, so quantizing moves the evaluation grid but keeps
+    the estimator exact ON that grid (a documented resolution/cost
+    trade, not an approximation of the quantized statistic).
+    Fuzz-covered by
+    tests/test_fixture_fuzz.py::test_mannwhitney_continuous_domain.
     """
     from pyspark.sql import Window
 

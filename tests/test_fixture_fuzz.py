@@ -1213,3 +1213,54 @@ def test_setops_single_type_corpus_second_stream_is_empty(spark, tmp_path_factor
     df.to_parquet(dd / "events.parquet")
     row = REG_QUERIES["e7_setops"](spark, str(dd)).collect()[0]
     assert (row.n_both, row.n_only_first, row.n_union) == (0, 3, 3)
+
+
+@st.composite
+def continuous_event_tables(draw):
+    """Event tables with a HIGH-CARDINALITY CONTINUOUS value column —
+    the domain the e41/dq_ks cell-collapse contract declares out of its
+    |cells| ≪ |rows| fast path (their docstrings). No 2-decimal
+    rounding: values keep full double precision so essentially every
+    row is its own (type, value) cell, and ts spans both sides of the
+    dq_ks epoch split."""
+    n = draw(st.integers(min_value=40, max_value=120))
+    seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
+    rng = np.random.RandomState(seed)
+    rows = [
+        {
+            "event_id": i,
+            # spread across Jan 1-31 so the KS split (Jan 16) usually
+            # has both halves populated; hypothesis still finds seeds
+            # where a type is one-sided, exercising the NULLIF guard
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(float(rng.uniform(0, 30 * 86400)), unit="s"),
+            "user_id": int(rng.randint(1, 7)),
+            "event_type": str(rng.choice(TYPES)),
+            "value": float(rng.standard_normal() * 137.042),
+            "props": '{"k": 1}',
+        }
+        for i in range(n)
+    ]
+    df = pd.DataFrame(rows)
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    return df
+
+
+@pytest.mark.parametrize("name", ["e41_mannwhitney", "dq_ks"])
+@given(table=continuous_event_tables())
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_mannwhitney_continuous_domain(spark, tmp_path_factory, name, table):
+    """The cell-collapse contract (events.py e41 / quality.py dq_ks
+    docstrings): on an unbounded continuous value domain the collapse
+    is a COST degradation (|cells| → |rows|), never a correctness one —
+    tie-averaged ranks and cell-boundary CDFs are exact whatever the
+    cell count. Asserted by running both operators against their
+    registered oracles on full-precision values where ~every row is a
+    distinct cell."""
+    # prove the fixture is in the declared-hostile domain: ~all-distinct
+    assert table["value"].nunique() > 0.9 * len(table)
+    _run_pair(spark, name, table, tmp_path_factory.mktemp("contfuzz"))

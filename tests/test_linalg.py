@@ -171,3 +171,42 @@ def test_sparse_map_blocks(spark):
     # elementwise scalar op stays sparse
     doubled = map_blocks(sparse_blocks, lambda c: c.multiply(2.0))
     assert abs(doubled.map(lambda kv: kv[1].sum()).sum() - 2 * total) < 1e-6
+
+
+def test_staged_cache_invalidates_on_restage(spark, tmp_path):
+    """The (path, mtime_ns, size)-keyed memmap cache (_open_staged):
+    re-staging NEW same-shape contents at a REUSED path must yield a
+    fresh mapping, not the stale matrix — in this driver process
+    directly, and through reused executor python workers end-to-end.
+    (Unique paths remain the preferred lifecycle; this pins the
+    documented reused-path fallback on an ns-mtime filesystem.)"""
+    b_path = str(tmp_path / "reused.npy")
+    p1 = linalg.random_row_panels(spark, 32, 8, panel_rows=16, seed=11)
+    linalg.stage_matrix(p1, b_path, (32, 8), panel_rows=16)
+    b1 = np.vstack([p for _, p in sorted(p1.collect())])
+    first = linalg._open_staged(b_path)
+    np.testing.assert_array_equal(np.asarray(first), b1)
+    assert linalg._open_staged(b_path) is first  # same stat → cache hit
+
+    a_panels = linalg.random_row_panels(spark, 48, 32, panel_rows=16, seed=13)
+    a_local = np.vstack([p for _, p in sorted(a_panels.collect())])
+    got1 = np.vstack(
+        [p for _, p in sorted(linalg.matmul_broadcast_staged(a_panels, b_path).collect())]
+    )
+    np.testing.assert_allclose(got1, a_local @ b1, rtol=1e-10)
+
+    # same path, same size, different contents
+    p2 = linalg.random_row_panels(spark, 32, 8, panel_rows=16, seed=12)
+    linalg.stage_matrix(p2, b_path, (32, 8), panel_rows=16)
+    b2 = np.vstack([p for _, p in sorted(p2.collect())])
+    assert not np.array_equal(b1, b2)
+    second = linalg._open_staged(b_path)
+    assert second is not first
+    np.testing.assert_array_equal(np.asarray(second), b2)
+    assert len(linalg._STAGED_CACHE) == 1  # stale mapping evicted
+
+    # reused executor workers must also re-mmap (their own cache copies)
+    got2 = np.vstack(
+        [p for _, p in sorted(linalg.matmul_broadcast_staged(a_panels, b_path).collect())]
+    )
+    np.testing.assert_allclose(got2, a_local @ b2, rtol=1e-10)
