@@ -177,6 +177,14 @@ _ROUNDING_MIGRATION_RECERT = (
     "ann_cosine_topk", "ann_lsh_topk", "emb_centroids",
     "embedding_near_dup", "multimodal_digest", "multimodal_frames",
     "multimodal_resize",
+    # the 2 sketch twins, LAST in the queue: their rows are rows-only
+    # by design (rank 5 normally), but their latest official rows are
+    # r03/pre-migration, and the round-6 verdict asked that r07 close
+    # the ledger with "the 24 oracle-backed names green + the 2 twins'
+    # rows-only rows" — the r07 window has 26 spare slots, so spending
+    # two here completes a fully post-migration ledger. Once an r≥4
+    # artifact contains them they fall through to rank 5 permanently.
+    "e18_approx_distinct", "e10_percentiles_approx",
 )
 _RECERT_INDEX = {n: i for i, n in enumerate(_ROUNDING_MIGRATION_RECERT)}
 
