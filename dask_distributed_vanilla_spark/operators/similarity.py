@@ -445,6 +445,13 @@ def semdedup(spark: SparkSession, sf_dir: str, tau: float = SEMDEDUP_TAU) -> Dat
     dominated = (
         a.join(b, "lbl")
         .where(F.col("id_b") < F.col("id_a"))
+        # zero-norm guard: the multiplicative rewrite of cos >= tau
+        # degenerates to 0 >= 0 (TRUE) when either norm is 0, silently
+        # marking a zero vector as everyone's duplicate — but its
+        # cosine is UNDEFINED, and the oracle's NULL comparison keeps
+        # it. Undefined similarity means "not a duplicate" on both
+        # engines (hostile-embeddings fuzz).
+        .where((F.col("na") > 0) & (F.col("nb") > 0))
         .where(dot(F.col("ea"), F.col("eb")) >= tau * F.col("na") * F.col("nb"))
         .select(F.col("id_a").alias("vec_id"))
         .distinct()
@@ -843,8 +850,13 @@ def emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("label").orderBy(
         F.floor(F.col("cos") * 10000 + F.lit(0.5)), "vec_id"
     )
+    # A zero-norm vector has no defined cosine (cos is NULL): it must
+    # not occupy an outlier rank — Spark sorts NULLs FIRST ascending
+    # while DuckDB sorts them LAST, so leaving it in the window ranks
+    # it on one engine and not the other (hostile-embeddings fuzz).
     return (
-        cos.withColumn("rank", F.row_number().over(w).cast("int"))
+        cos.where(F.col("cos").isNotNull())
+        .withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= OUTLIER_K)
         .select("label", "rank", "vec_id", round2(F.col("cos")).alias("cos_centroid"))
         .orderBy("label", "rank")
@@ -872,7 +884,7 @@ ranked AS (
   SELECT label, vec_id, cos,
          ROW_NUMBER() OVER (PARTITION BY label
                             ORDER BY FLOOR(cos * 10000 + 0.5), vec_id) AS rank
-  FROM cos)
+  FROM cos WHERE cos IS NOT NULL)
 SELECT label, CAST(rank AS INT) AS rank, vec_id,
        {round2_sql("cos")} AS cos_centroid
 FROM ranked WHERE rank <= {OUTLIER_K} ORDER BY label, rank

@@ -1264,3 +1264,84 @@ def test_mannwhitney_continuous_domain(spark, tmp_path_factory, name, table):
     # prove the fixture is in the declared-hostile domain: ~all-distinct
     assert table["value"].nunique() > 0.9 * len(table)
     _run_pair(spark, name, table, tmp_path_factory.mktemp("contfuzz"))
+
+
+# Oracle-backed similarity/embedding ops under generated hostile
+# corpora. The 100 TB certainties this pins: zero vectors (failed
+# encoder), EXACT-duplicate vectors (re-ingested shard — creates exact
+# similarity TIES, the top-k tie-break divergence class), constant
+# vectors, and near-duplicates at float32 epsilon (the semdedup/near-dup
+# threshold boundary).
+SIMILARITY_FUZZED_OPS = [
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    # ann_hybrid_rrf joins embeddings with the documents table (lexical
+    # leg) — out of scope for this single-table fixture
+    "embedding_near_dup",
+    "semdedup",
+    "emb_centroids",
+    "emb_drift",
+    "emb_outliers",
+    "emb_quantize",
+]
+
+
+@st.composite
+def embedding_tables(draw):
+    n = draw(st.integers(min_value=12, max_value=30))
+    seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        shape = draw(
+            st.sampled_from(["random", "random", "random", "zero", "dup0", "constant", "neardup0"])
+        )
+        if shape == "zero":
+            vec = np.zeros(8, dtype=np.float32)
+        elif shape == "constant":
+            vec = np.full(8, 0.5, dtype=np.float32)
+        elif shape == "dup0" and rows:
+            vec = rows[0]["embedding"].copy()
+        elif shape == "neardup0" and rows:
+            vec = rows[0]["embedding"].copy()
+            vec[0] += np.float32(1e-6)
+        else:
+            vec = rng.uniform(-1, 1, 8).astype(np.float32)
+        rows.append(
+            {"vec_id": i, "embedding": vec, "label": int(rng.randint(0, 3))}
+        )
+    return pd.DataFrame(rows)
+
+
+def _run_emb_pair(spark, name: str, table: pd.DataFrame, tmp_root: Path):
+    d = tmp_root / f"embfuzz_{uuid.uuid4().hex[:8]}"
+    d.mkdir()
+    table.to_parquet(d / "embeddings.parquet")
+    sdf = REG_QUERIES[name](spark, str(d)).toPandas()
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'"
+        )
+        odf = con.execute(REG_ORACLES[name]).fetchdf()
+    finally:
+        con.close()
+    s_schema, s_hash = canonical(sdf)
+    o_schema, o_hash = canonical(odf)
+    assert len(sdf) == len(odf), f"{name}: rows {len(sdf)} != {len(odf)}"
+    assert s_schema == o_schema, f"{name}: schema {s_schema} != {o_schema}"
+    assert s_hash == o_hash, (
+        f"{name}: value divergence on generated embeddings\n"
+        f"spark:\n{sdf.to_string()}\noracle:\n{odf.to_string()}"
+    )
+
+
+@pytest.mark.parametrize("name", SIMILARITY_FUZZED_OPS)
+@given(table=embedding_tables())
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_generated_embeddings_match_oracle(spark, tmp_path_factory, name, table):
+    _run_emb_pair(spark, name, table, tmp_path_factory.mktemp("embfuzz"))
