@@ -518,7 +518,13 @@ def text_sparse_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            (F.floor((F.col("dot") / (F.col("nrm_a") * F.col("nrm_b"))) * 1000 + F.lit(0.5)) / 1000).alias("cos"),
+            # NULLIF guard: a doc whose every surviving term appears in
+            # ALL docs has wt = n·ln(1) = 0 everywhere → zero norm; its
+            # cosine is undefined and the pair must drop out of the
+            # >= 0.5 filter on both engines (DuckDB's /0 is NULL; ANSI
+            # Spark would otherwise kill the job — generated-corpus
+            # fuzz, repetition-only documents).
+            (F.floor((F.col("dot") / F.nullif(F.col("nrm_a") * F.col("nrm_b"), F.lit(0.0))) * 1000 + F.lit(0.5)) / 1000).alias("cos"),
         )
         .where(F.col("cos") >= 0.5)
     )
@@ -1072,9 +1078,17 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # Index guard: sequence(1, size(w)-1) on a SINGLE-token document is
+    # sequence(1, 0) — which Spark generates DESCENDING as [1, 0], so
+    # w[1] throws INVALID_ARRAY_INDEX and one such doc kills the whole
+    # job (ANSI; found by generated-corpus fuzz). slice of an always-
+    # ascending sequence yields [] for size(w) < 2 instead.
     pairs = t.select(
         F.explode(
-            F.expr("transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS a, w[i] AS b))")
+            F.expr(
+                "transform(slice(sequence(0, size(w)), 2, greatest(size(w) - 1, 0)),"
+                " i -> struct(w[i-1] AS a, w[i] AS b))"
+            )
         ).alias("p")
     ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
     big = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))

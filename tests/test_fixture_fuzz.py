@@ -296,6 +296,23 @@ TEXT_FUZZED_OPS = [
     ("dedup_minhash_lsh", dedup_ops),
     ("dedup_simhash", dedup_ops),
     ("dedup_containment", dedup_ops),
+    # round-7 completion: every remaining oracle-backed documents-only
+    # op (multimodal has its own multibyte-payload fuzz below)
+    ("text_fingerprint", None),
+    ("text_langid", None),
+    ("text_pmi_bigrams", None),
+    ("text_lang_confusion", None),
+    ("text_normalize", None),
+    ("text_langmix", None),
+    ("text_sparse_sim", None),
+    ("text_inverted_index", None),
+    ("dedup_cc", None),
+    ("dedup_incremental", None),
+    ("dedup_incremental_near", None),
+    ("sample_stratified", None),
+    ("sample_mixture", None),
+    ("curation_report", None),
+    ("shards_layout", None),
 ]
 
 
