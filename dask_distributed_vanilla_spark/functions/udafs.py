@@ -26,6 +26,23 @@ def geomean(v: pd.Series) -> float:
 @pandas_udf("double")
 def midhinge(v: pd.Series) -> float:
     """(Q1 + Q3) / 2 — a robust location estimate no built-in single
-    aggregate provides (the genuine UDAF case: needs the full group)."""
-    x = v.to_numpy(dtype=np.float64)
-    return float((np.quantile(x, 0.25) + np.quantile(x, 0.75)) / 2)
+    aggregate provides (the genuine UDAF case: needs the full group).
+
+    The quantiles interpolate with the same FP formula SHAPE as
+    DuckDB's quantile_cont / Spark's percentile — lo + (hi-lo)·frac —
+    NOT np.quantile: numpy's _lerp switches to b-(b-a)·(1-t) at t ≥ 0.5
+    for accuracy, and that one-ulp difference flips the half-up display
+    rounding a full cent whenever the true midhinge sits exactly on a
+    .xx5 boundary (certain with 2-decimal money; found by the
+    generated-fixture fuzz on a negative-valued group)."""
+    x = np.sort(v.to_numpy(dtype=np.float64))
+    n = len(x)
+
+    def qcont(p: float) -> float:
+        h = (n - 1) * p
+        lo = int(h)
+        frac = h - lo
+        hi = min(lo + 1, n - 1)
+        return x[lo] + (x[hi] - x[lo]) * frac
+
+    return float((qcont(0.25) + qcont(0.75)) / 2)

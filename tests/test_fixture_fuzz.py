@@ -55,6 +55,11 @@ FUZZED_OPS = [
     "e33_ewma",
     "e34_seasonality",
     "e41_mannwhitney",
+    # round-7 completion: the last two unfuzzed events-only oracle ops —
+    # guarded Pearson (constant-side NULL surface) and the grouped-agg
+    # midhinge UDAF (quantile interpolation on tiny/tied groups)
+    "e23_corr",
+    "e40_midhinge",
     # data-quality family (events-only inputs): PSI/KS bin math with
     # empty bins, Benford first-digit log ratios on hostile values
     "dq_drift",
