@@ -1367,3 +1367,52 @@ def _run_emb_pair(spark, name: str, table: pd.DataFrame, tmp_root: Path):
 )
 def test_generated_embeddings_match_oracle(spark, tmp_path_factory, name, table):
     _run_emb_pair(spark, name, table, tmp_path_factory.mktemp("embfuzz"))
+
+
+@given(emb=embedding_tables(), data=st.data())
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_hybrid_rrf_generated_two_table_fixture(spark, tmp_path_factory, emb, data):
+    """ann_hybrid_rrf is the one similarity op outside the single-table
+    embeddings fuzz (its lexical leg reads documents): fuse hostile
+    embeddings (zero/dup/constant vectors) with hostile texts (empty,
+    single-char, multibyte, pure repetition) over ALIGNED ids — the
+    two-modality candidate pools then disagree maximally, exercising
+    the full-outer fusion and its integer-rank 1/(k+r) arithmetic."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": emb["vec_id"],
+            "text": [
+                data.draw(
+                    st.sampled_from(
+                        HOSTILE_TEXTS
+                        + [" ".join(data.draw(st.sampled_from(WORD_POOL)) for _ in range(7))]
+                    )
+                )
+                for _ in range(len(emb))
+            ],
+            "lang": [data.draw(st.sampled_from(LANGS)) for _ in range(len(emb))],
+            "source": ["src0"] * len(emb),
+        }
+    )
+    docs["n_chars"] = docs["text"].str.len()
+    d = tmp_path_factory.mktemp("rrffuzz") / f"rrf_{uuid.uuid4().hex[:8]}"
+    d.mkdir()
+    emb.to_parquet(d / "embeddings.parquet")
+    docs.to_parquet(d / "documents.parquet")
+    sdf = REG_QUERIES["ann_hybrid_rrf"](spark, str(d)).toPandas()
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'")
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+        odf = con.execute(REG_ORACLES["ann_hybrid_rrf"]).fetchdf()
+    finally:
+        con.close()
+    s_schema, s_hash = canonical(sdf)
+    o_schema, o_hash = canonical(odf)
+    assert (len(sdf), s_schema, s_hash) == (len(odf), o_schema, o_hash), (
+        f"ann_hybrid_rrf divergence\nspark:\n{sdf.to_string()}\noracle:\n{odf.to_string()}"
+    )
