@@ -1416,3 +1416,165 @@ def test_hybrid_rrf_generated_two_table_fixture(spark, tmp_path_factory, emb, da
     assert (len(sdf), s_schema, s_hash) == (len(odf), o_schema, o_hash), (
         f"ann_hybrid_rrf divergence\nspark:\n{sdf.to_string()}\noracle:\n{odf.to_string()}"
     )
+
+
+# ---- TPC-H tier A+B on generated hostile star-schema fixtures ----
+#
+# The tier queries passed three scales of the driver's TPC-H-ish
+# fixtures, but those fixtures are benign: every date window populated,
+# no empty groups after filters, referential integrity perfect. At
+# warehouse scale none of that holds. The generator below builds a
+# consistent mini star schema whose hostility is the SHAPE: date pools
+# sitting exactly ON the queries' window boundaries (and sometimes
+# entirely outside them -> empty aggregates), discounts at the a6 band
+# edges, quantities at the q17/q18-style thresholds, orphan order rows
+# (customer deleted after the order landed), regions with no nations,
+# nations with no customers, and acctbal/extendedprice on the .xx5
+# display-rounding grid.
+
+TPCH_SEGMENTS = ["BUILDING", "MACHINERY", "AUTOMOBILE", "HOUSEHOLD", "FURNITURE"]
+TPCH_BRANDS = ["Brand#12", "Brand#15", "Brand#23", "Brand#25", "Brand#34"]
+TPCH_PTYPES = ["PROMO", "ECONOMY", "STANDARD", "SMALL", "MEDIUM", "LARGE"]
+TPCH_REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+TPCH_NATION_POOL = [f"NATION_{i}" for i in (1, 2, 3, 4, 5, 8, 13, 16)]
+TPCH_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+TPCH_DATE_POOL = [
+    "1994-12-31", "1995-01-01", "1995-03-14", "1995-03-15", "1995-03-16",
+    "1995-09-30", "1995-10-01", "1995-12-31", "1996-01-01", "1996-04-01",
+    "1996-06-30", "1996-12-31", "1997-01-01", "1997-12-31", "1999-06-06",
+]
+TPCH_QTY_POOL = [1.0, 10.0, 24.0, 25.0, 30.0, 49.0, 50.0]
+TPCH_DISC_POOL = [0.0, 0.04, 0.05, 0.06, 0.07, 0.08, 0.1]
+TPCH_MONEY_POOL = [0.01, 1.0, 99.995, 1234.56, 4999.005, 50000.0]
+TPCH_BAL_POOL = [-999.99, -0.005, 0.0, 500.005, 9999.99]
+
+
+@st.composite
+def tpch_tables(draw):
+    n_nat = draw(st.integers(min_value=3, max_value=6))
+    nat_names = draw(
+        st.permutations(TPCH_NATION_POOL).map(lambda p: list(p[:n_nat]))
+    )
+    region = pd.DataFrame(
+        {"r_regionkey": range(5), "r_name": TPCH_REGIONS}
+    ).astype({"r_regionkey": "int32"})
+    nation = pd.DataFrame(
+        {
+            "n_nationkey": range(n_nat),
+            "n_name": nat_names,
+            "n_regionkey": [draw(st.integers(0, 4)) for _ in range(n_nat)],
+        }
+    ).astype({"n_nationkey": "int32", "n_regionkey": "int32"})
+
+    n_cust = draw(st.integers(min_value=4, max_value=8))
+    customer = pd.DataFrame(
+        {
+            "c_custkey": range(n_cust),
+            "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
+            "c_nationkey": [draw(st.integers(0, n_nat - 1)) for _ in range(n_cust)],
+            "c_acctbal": [draw(st.sampled_from(TPCH_BAL_POOL)) for _ in range(n_cust)],
+            "c_mktsegment": [
+                draw(st.sampled_from(TPCH_SEGMENTS)) for _ in range(n_cust)
+            ],
+        }
+    ).astype({"c_nationkey": "int32"})
+
+    n_supp = draw(st.integers(min_value=2, max_value=4))
+    supplier = pd.DataFrame(
+        {
+            "s_suppkey": range(n_supp),
+            "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
+            "s_nationkey": [draw(st.integers(0, n_nat - 1)) for _ in range(n_supp)],
+            "s_acctbal": [draw(st.sampled_from(TPCH_BAL_POOL)) for _ in range(n_supp)],
+        }
+    ).astype({"s_nationkey": "int32"})
+
+    n_part = draw(st.integers(min_value=3, max_value=6))
+    part = pd.DataFrame(
+        {
+            "p_partkey": range(n_part),
+            "p_name": [f"part {i} burnished copper" for i in range(n_part)],
+            "p_brand": [draw(st.sampled_from(TPCH_BRANDS)) for _ in range(n_part)],
+            "p_type": [draw(st.sampled_from(TPCH_PTYPES)) for _ in range(n_part)],
+            "p_size": [
+                draw(st.sampled_from([1, 5, 15, 23, 45, 50])) for _ in range(n_part)
+            ],
+            "p_retailprice": [
+                draw(st.sampled_from(TPCH_MONEY_POOL)) for _ in range(n_part)
+            ],
+        }
+    ).astype({"p_size": "int32"})
+
+    n_ord = draw(st.integers(min_value=6, max_value=12))
+    orows, lrows = [], []
+    for ok in range(n_ord):
+        # occasionally an ORPHAN custkey (customer churned/deleted):
+        # inner joins must drop it, a13's left join must not
+        ck = draw(
+            st.one_of(st.integers(0, n_cust - 1), st.just(n_cust + 7))
+            if draw(st.booleans())
+            else st.integers(0, n_cust - 1)
+        )
+        od = pd.Timestamp(draw(st.sampled_from(TPCH_DATE_POOL)))
+        orows.append(
+            {
+                "o_orderkey": ok,
+                "o_custkey": ck,
+                "o_orderstatus": draw(st.sampled_from(["O", "F", "P"])),
+                "o_totalprice": draw(st.sampled_from(TPCH_MONEY_POOL)),
+                "o_orderdate": od,
+                "o_orderpriority": draw(st.sampled_from(TPCH_PRIORITIES)),
+            }
+        )
+        for ln in range(1, draw(st.integers(min_value=1, max_value=3)) + 1):
+            lrows.append(
+                {
+                    "l_orderkey": ok,
+                    "l_partkey": draw(st.integers(0, n_part - 1)),
+                    "l_suppkey": draw(st.integers(0, n_supp - 1)),
+                    "l_linenumber": ln,
+                    "l_quantity": draw(st.sampled_from(TPCH_QTY_POOL)),
+                    "l_extendedprice": draw(st.sampled_from(TPCH_MONEY_POOL)),
+                    "l_discount": draw(st.sampled_from(TPCH_DISC_POOL)),
+                    "l_tax": draw(st.sampled_from([0.0, 0.04, 0.08])),
+                    "l_returnflag": draw(st.sampled_from(["R", "A", "N"])),
+                    "l_linestatus": draw(st.sampled_from(["O", "F"])),
+                    # shipdate may PRECEDE the order date (clock skew /
+                    # bad feed) and may land exactly on window bounds
+                    "l_shipdate": od
+                    + pd.Timedelta(days=draw(st.sampled_from([-5, 0, 1, 30, 90, 365]))),
+                }
+            )
+    orders = pd.DataFrame(orows)
+    orders["o_orderdate"] = orders["o_orderdate"].astype("datetime64[us]")
+    lineitem = pd.DataFrame(lrows).astype({"l_linenumber": "int32"})
+    lineitem["l_shipdate"] = lineitem["l_shipdate"].astype("datetime64[us]")
+    return {
+        "region": region,
+        "nation": nation,
+        "customer": customer,
+        "supplier": supplier,
+        "part": part,
+        "orders": orders,
+        "lineitem": lineitem,
+    }
+
+
+TPCH_FUZZED = [f"a{i}" for i in (1, 3, 4, 5, 6, 7, 8, 9, 10, 13, 14, 15, 17, 18, 19, 22)] + [
+    f"b{i}" for i in range(1, 23)
+]
+
+
+@pytest.mark.parametrize("name", TPCH_FUZZED)
+@given(tables=tpch_tables())
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_tpch_generated_star_schema_matches_oracle(
+    spark, tmp_path_factory, name, tables
+):
+    _run_multi_table_pair(
+        spark, name, tables, tmp_path_factory.mktemp("tpchfuzz")
+    )
