@@ -318,6 +318,7 @@ TEXT_FUZZED_OPS = [
     ("sample_mixture", None),
     ("curation_report", None),
     ("shards_layout", None),
+    ("quality_token_mix", None),
 ]
 
 
@@ -1560,9 +1561,13 @@ def tpch_tables(draw):
     }
 
 
-TPCH_FUZZED = [f"a{i}" for i in (1, 3, 4, 5, 6, 7, 8, 9, 10, 13, 14, 15, 17, 18, 19, 22)] + [
-    f"b{i}" for i in range(1, 23)
-]
+TPCH_FUZZED = (
+    [f"a{i}" for i in (1, 3, 4, 5, 6, 7, 8, 9, 10, 13, 14, 15, 17, 18, 19, 22)]
+    + [f"b{i}" for i in range(1, 23)]
+    # star-schema readers beyond the tiers: market-basket lift reads
+    # orders+lineitem+part and inherits the same hostile shapes
+    + ["basket_lift"]
+)
 
 
 @pytest.mark.parametrize("name", TPCH_FUZZED)
