@@ -523,7 +523,21 @@ LAKE_EVENT_OPS = ["merge_upsert", "snapshot_diff"]
 # hours-long generated tape their final windows are legitimately still
 # open when the replay ends, so batch-vs-stream divergence there is
 # semantics, not a bug.
-STREAM_FUZZED_OPS = ["stream_e1", "stream_dedup", "stream_update_totals"]
+STREAM_FUZZED_OPS = [
+    "stream_e1",
+    "stream_dedup",
+    "stream_update_totals",
+    # round-7 completion: every remaining oracle-backed streaming twin
+    # (stream_approx_distinct is the rows-only HLL sketch)
+    "stream_enrich",
+    "stream_incremental_mv",
+    "stream_join",
+    "stream_outer_join",
+    "stream_session",
+    "stream_sliding",
+    "stream_stateful",
+    "stream_two_level",
+]
 
 
 @st.composite
@@ -599,6 +613,20 @@ def test_lakehouse_generated_fixture_matches_oracle(
     _run_pair(spark, name, table, tmp_path_factory.mktemp("lakefuzz"))
 
 
+# Append-mode twins with a DECLARED watermark-horizon contract
+# (docstrings at streaming/events_stream.py stream_outer_join /
+# stream_two_level): their rollups compare only rows before the fixed
+# OUTER_JOIN_CUTOFF, and batch-equivalence requires the stream's
+# watermark to have passed that cutoff — true of the month-long
+# official fixture, false of a seconds-long generated one, where the
+# stream legitimately emits nothing while the batch oracle counts
+# everything. The fuzz honors the contract by appending one far-future
+# sentinel event (Feb 1 > cutoff Jan 25 + watermark + window margins)
+# that drives every in-scope window closed; the sentinel itself sits
+# beyond the cutoff filter on BOTH engines.
+STREAM_HORIZON_OPS = {"stream_outer_join", "stream_two_level"}
+
+
 @pytest.mark.parametrize("name", STREAM_FUZZED_OPS)
 @given(table=event_tables())
 @settings(
@@ -609,7 +637,50 @@ def test_lakehouse_generated_fixture_matches_oracle(
 def test_streaming_sink_generated_fixture_matches_oracle(
     spark, tmp_path_factory, name, table
 ):
-    _run_pair(spark, name, table, tmp_path_factory.mktemp("streamfuzz"))
+    if name in STREAM_HORIZON_OPS:
+        # one sentinel PER event type the op's streams filter on: the
+        # outer join watermarks its click and purchase legs AFTER the
+        # type filter, so a sentinel of any other type never reaches
+        # the watermark node and the horizon stays open
+        base_id = int(table["event_id"].max()) + 1
+        sentinel = pd.DataFrame(
+            [
+                {
+                    "event_id": base_id + i,
+                    "ts": pd.Timestamp("2024-02-01"),
+                    "user_id": 1,
+                    "event_type": et,
+                    "value": 0.0,
+                    "props": '{"k": 1}',
+                }
+                for i, et in enumerate(["view", "click", "purchase"])
+            ]
+        )
+        table = pd.concat([table, sentinel], ignore_index=True)
+        table["ts"] = table["ts"].astype("datetime64[us]")
+    if name == "stream_enrich":
+        # stream-static join: the dimension side, incl. users WITHOUT a
+        # customer row (5-6 generated users vs 5 customers — the inner
+        # join must drop their events on both engines)
+        cust = pd.DataFrame(
+            {
+                "c_custkey": range(5),
+                "c_name": [f"Customer#{i:09d}" for i in range(5)],
+                "c_nationkey": [0, 1, 2, 0, 1],
+                "c_acctbal": [0.0, -1.5, 100.005, 9.99, 3.14],
+                "c_mktsegment": [
+                    "BUILDING", "MACHINERY", "AUTOMOBILE", "BUILDING", "HOUSEHOLD",
+                ],
+            }
+        ).astype({"c_nationkey": "int32"})
+        _run_multi_table_pair(
+            spark,
+            name,
+            {"events": table, "customer": cust},
+            tmp_path_factory.mktemp("streamfuzz"),
+        )
+    else:
+        _run_pair(spark, name, table, tmp_path_factory.mktemp("streamfuzz"))
 
 
 @st.composite
