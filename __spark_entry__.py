@@ -64,3 +64,11 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (omitted entries are
     checked rows-only by the driver)."""
     return registry.all_oracles()
+
+
+def rows_only() -> tuple[str, ...]:
+    """Queries whose missing oracle is BY DESIGN (sketch estimates,
+    seeded ML, compression ratios — pytest-pinned instead): the driver
+    may echo this so their CORRECTNESS rows read ``rows_only: true``
+    rather than an ``err: "no_oracle"`` that looks like a failure."""
+    return registry.rows_only()

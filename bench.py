@@ -15,6 +15,21 @@ committed idle-box reference — when the probe says the box was loaded,
 the budget verdict is recorded as indeterminate (null) instead of a
 fake pass/fail.
 
+I/O decoupling (round-8, after the r07 stream-family geomean stepped
+2.1s → 5.4s best-of on code untouched since round 5 while the all-core
+CPU probe read clean — the signature of DISK-side contention, which
+streaming twins sense through state-store commits and checkpoint
+fsyncs): (1) bench runs point the streaming checkpoint/state-store
+default, Spark's shuffle-spill local dir, and the Python scratch dir at
+tmpfs (/dev/shm), so the committed record measures the engine, not the
+driver host's disk (gate off with SPARK_GRAFT_BENCH_TMPFS=0; the
+driver's CORRECTNESS gate builds its own session and keeps durable
+dirs); (2) the calibration bracket gains an I/O microprobe — best-of-3
+of a 32×4KiB write+fsync loop on the DISK filesystem — plus an
+availableNow rate-stream canary with a disk checkpoint, recorded
+pre+post, so any future step-change in wall-clock is attributable to
+CPU vs I/O from the record alone.
+
 Output contract (truncation-proof — the driver keeps only the LAST
 ~2,000 chars of stdout, which in round 3 cut the 176-query JSON and
 left BENCH_r03 undiagnosable): the FULL result (all per-query timings +
@@ -73,6 +88,15 @@ SUBSEC_REPS = 5
 CALIB_IDLE_SEC = 0.90
 COLOAD_RATIO = 1.30
 
+# Idle-box reference for the DISK I/O microprobe: best-of-3 of a
+# 32×(4KiB write + fsync) loop on /tmp (ext4-on-vda, the filesystem
+# streaming checkpoints lived on before the tmpfs decoupling), measured
+# round 8 at load avg 0.1: 0.043-0.097s across sessions (fsync latency
+# jitters ~2× even idle, hence the loose 4× gate — real contention
+# moves fsync 10-100×). tmpfs reference for comparison: 0.0004s.
+IO_IDLE_SEC = 0.045
+IO_COLOAD_RATIO = 4.0
+
 
 def _calibration_probe(spark) -> float:
     """Best-of-3 wall time of a fixed all-core CPU-bound Spark job:
@@ -90,12 +114,99 @@ def _calibration_probe(spark) -> float:
     return round(best, 3)
 
 
+def _io_probe() -> float:
+    """Best-of-3 wall time of a fixed small-file fsync workload on the
+    DISK filesystem (/tmp, deliberately NOT the bench tmpfs): 32 ×
+    (4 KiB write + fsync) + unlink. Senses the I/O-side contention
+    (checkpoint/state-store fsyncs from a co-tenant, driver-host
+    writers) that the all-core CPU probe is structurally blind to —
+    the r07 stream-family step-change's failure mode."""
+    import tempfile
+
+    payload = b"\0" * 4096
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        with tempfile.TemporaryDirectory(dir="/tmp", prefix="ddvs_ioprobe_") as d:
+            for i in range(32):
+                fd = os.open(os.path.join(d, f"f{i}"), os.O_CREAT | os.O_WRONLY, 0o600)
+                os.write(fd, payload)
+                os.fsync(fd)
+                os.close(fd)
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
+def _stream_canary(spark) -> float:
+    """Best-of-3 wall time of an (effectively empty) availableNow
+    rate-stream with its checkpoint on the DISK filesystem — exercises
+    the real micro-batch machinery (offset log, commit log, state-store
+    dir churn: many small creates + fsyncs + renames) end to end.
+    Recorded for attribution, not gated: its idle floor (~0.42s) is
+    dominated by trigger scheduling, so the fsync share is better
+    isolated by _io_probe."""
+    import shutil
+    import tempfile
+
+    best = float("inf")
+    for _ in range(3):
+        ckpt = tempfile.mkdtemp(dir="/tmp", prefix="ddvs_canary_")
+        try:
+            t0 = time.perf_counter()
+            q = (
+                spark.readStream.format("rate")
+                .option("rowsPerSecond", "1")
+                .load()
+                .writeStream.format("noop")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            best = min(best, time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+    return round(best, 3)
+
+
+def _tmpfs_scratch() -> str | None:
+    """Point all bench-run scratch at tmpfs so the committed record
+    measures the engine, not the host's disk: streaming checkpoint +
+    state-store default, Spark local dir (shuffle spill), and the
+    Python tempfile root (the twins' file-stream source symlink dirs
+    and the incremental-MV sink). Returns the base dir to clean up, or
+    None when gated off / no tmpfs."""
+    if os.environ.get("SPARK_GRAFT_BENCH_TMPFS", "1") == "0":
+        return None
+    shm = "/dev/shm"
+    if not os.path.isdir(shm) or not os.access(shm, os.W_OK):
+        return None
+    base = os.path.join(shm, f"ddvs_bench_{os.getpid()}")
+    os.makedirs(os.path.join(base, "scratch"), exist_ok=True)
+    return base
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = int(os.environ.get("BENCH_REPS", "3"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
-    spark = get_spark("bench")
+    scratch = _tmpfs_scratch()
+    conf: dict[str, str] = {}
+    if scratch:
+        import atexit
+        import shutil
+        import tempfile
+
+        atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+        # tempfile caches its root on first use — assign directly so the
+        # twins' mkdtemp calls land on tmpfs regardless of import order
+        tempfile.tempdir = os.path.join(scratch, "scratch")
+        os.environ["TMPDIR"] = tempfile.tempdir
+        conf["spark.sql.streaming.checkpointLocation"] = os.path.join(scratch, "ckpt")
+        conf["spark.local.dir"] = os.path.join(scratch, "local")
+
+    spark = get_spark("bench", **conf)
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm-up: touch every input once (JVM/codegen/file-footer caches)
@@ -103,6 +214,8 @@ def main() -> None:
         load_table(spark, sf_dir, t).count()
 
     calib_pre = _calibration_probe(spark)
+    io_pre = _io_probe()
+    canary_pre = _stream_canary(spark)
 
     queries = all_queries()
     timings: dict[str, float] = {}
@@ -124,26 +237,39 @@ def main() -> None:
         best[name] = round(min(runs), 3)
 
     calib_post = _calibration_probe(spark)
+    io_post = _io_probe()
+    canary_post = _stream_canary(spark)
 
     total = round(sum(timings.values()), 3)
     total_best = round(sum(best.values()), 3)
     # Budget verdict: computed on best-of (least co-load-contaminated)
-    # and only asserted when the calibration probe says the box was
-    # within COLOAD_RATIO of idle on BOTH sides of the run; otherwise
-    # null (indeterminate — a co-loaded box can't fail the budget).
+    # and only asserted when BOTH probes (CPU + disk I/O) say the box
+    # was near idle on BOTH sides of the run; otherwise null
+    # (indeterminate — a co-loaded box can't fail the budget).
     calib_ratio = (
         round(max(calib_pre, calib_post) / CALIB_IDLE_SEC, 3)
         if CALIB_IDLE_SEC
         else None
     )
-    coloaded = calib_ratio is not None and calib_ratio > COLOAD_RATIO
-    over_budget: bool | None
-    if total_best <= SUITE_BUDGET_SEC:
-        over_budget = False  # under budget even with co-load on top
-    elif coloaded or calib_ratio is None:
-        over_budget = None  # can't attribute the overrun to the code
-    else:
-        over_budget = True
+    io_ratio = round(max(io_pre, io_post) / IO_IDLE_SEC, 3) if IO_IDLE_SEC else None
+    coloaded = (calib_ratio is not None and calib_ratio > COLOAD_RATIO) or (
+        io_ratio is not None and io_ratio > IO_COLOAD_RATIO
+    )
+
+    def _verdict(value: float) -> bool | None:
+        if value <= SUITE_BUDGET_SEC:
+            return False  # under budget even with co-load on top
+        if coloaded or calib_ratio is None:
+            return None  # can't attribute the overrun to the code
+        return True
+
+    # Both bases recorded (round-8 ADVICE): over_budget stays best-of —
+    # co-load only adds time, so min() is the code's number — but a
+    # code change that is intermittently slow in MOST reps (GC, spills)
+    # would pass best-of while the median basis exposes it: the
+    # divergent pair (False, True) is the code-induced-variance flag.
+    over_budget = _verdict(total_best)
+    over_budget_median = _verdict(total)
     # TPC-H-style power metric: geometric mean over the full-fidelity
     # Tier B suite (b1-b22) — the single-number the reference's TPC-H
     # harness reports, robust to one slow outlier. Best-of basis (the
@@ -206,12 +332,20 @@ def main() -> None:
         "reps_subsec": SUBSEC_REPS,
         "budget_sec": SUITE_BUDGET_SEC,
         "over_budget": over_budget,
+        "over_budget_median": over_budget_median,
         "value_best": total_best,
+        "tmpfs_scratch": scratch is not None,
         "calib": {
             "idle_ref_sec": CALIB_IDLE_SEC,
             "pre_sec": calib_pre,
             "post_sec": calib_post,
             "ratio": calib_ratio,
+            "io_idle_ref_sec": IO_IDLE_SEC,
+            "io_pre_sec": io_pre,
+            "io_post_sec": io_post,
+            "io_ratio": io_ratio,
+            "canary_pre_sec": canary_pre,
+            "canary_post_sec": canary_post,
             "coloaded": coloaded,
         },
         "spark": spark.version,

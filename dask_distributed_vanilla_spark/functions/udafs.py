@@ -34,8 +34,16 @@ def midhinge(v: pd.Series) -> float:
     for accuracy, and that one-ulp difference flips the half-up display
     rounding a full cent whenever the true midhinge sits exactly on a
     .xx5 boundary (certain with 2-decimal money; found by the
-    generated-fixture fuzz on a negative-valued group)."""
-    x = np.sort(v.to_numpy(dtype=np.float64))
+    generated-fixture fuzz on a negative-valued group).
+
+    NaN propagates explicitly: np.sort places NaNs LAST, so indexing
+    the sorted array could silently return a finite midhinge for a
+    group containing NaN (np.quantile — and quantile_cont's NULL
+    analog — would not)."""
+    x = v.to_numpy(dtype=np.float64)
+    if np.isnan(x).any():
+        return float("nan")
+    x = np.sort(x)
     n = len(x)
 
     def qcont(p: float) -> float:

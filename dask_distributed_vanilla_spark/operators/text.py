@@ -554,11 +554,16 @@ dots AS (
   FROM wts a JOIN wts b ON a.term = b.term AND a.doc_id < b.doc_id
   GROUP BY 1, 2),
 scored AS (
-  SELECT doc_a, doc_b, FLOOR((dot / (na.nrm * nb.nrm)) * 1000 + 0.5) / 1000 AS cos
+  -- NULLIF mirrors the Spark side (and _semdedup_sql): without it a
+  -- zero-norm doc divides 0.0/0.0, which DuckDB >= 1.1 (ieee_
+  -- floating_point_ops=true) evaluates to NaN — and NaN compares
+  -- GREATER than everything, so the >= 0.5 filter would KEEP the pair
+  -- and diverge from the guarded Spark plan after a DuckDB upgrade.
+  SELECT doc_a, doc_b, FLOOR((dot / NULLIF(na.nrm * nb.nrm, 0)) * 1000 + 0.5) / 1000 AS cos
   FROM dots
   JOIN norms na ON na.doc_id = doc_a
   JOIN norms nb ON nb.doc_id = doc_b
-  WHERE FLOOR((dot / (na.nrm * nb.nrm)) * 1000 + 0.5) / 1000 >= 0.5)
+  WHERE FLOOR((dot / NULLIF(na.nrm * nb.nrm, 0)) * 1000 + 0.5) / 1000 >= 0.5)
 SELECT doc_a, doc_b, cos FROM scored
 QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_a ORDER BY cos DESC, doc_b) = 1
 ORDER BY doc_a

@@ -535,18 +535,26 @@ def a17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-quantity-order revenue (query17, queries.py:613-631).
 
     Correlated scalar subquery decorrelated as groupBy+join — the same
-    rewrite the reference does by hand (queries.py:622-629). The
-    per-partkey average aggregates lineitem *before* the join, so the
-    join input is |parts| rows, not |lineitem|.
+    rewrite the reference does by hand (queries.py:622-629). Only
+    Brand#23 partkeys (~1/25 of parts) can survive the final join, so
+    lineitem is first reduced by a broadcast left-semi join against the
+    filtered part keys; the per-partkey average over the surviving rows
+    equals the unrestricted correlated average (the filter touches only
+    part attributes, never lineitem rows of a surviving key). The
+    aggregate's input is |lineitem|/25, and its output |parts|/25 rows.
     """
-    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
     l = _t(spark, sf_dir, "lineitem")
-    thresh = l.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+    lp = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    thresh = lp.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         (0.2 * F.avg("l_quantity")).alias("qty_threshold")
     )
     return (
-        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
-        .join(thresh, F.col("l_partkey") == F.col("t_partkey"))
+        lp.join(thresh, F.col("l_partkey") == F.col("t_partkey"))
         .where(F.col("l_quantity") < F.col("qty_threshold"))
         .agg((F.floor((F.sum("l_extendedprice") / 7.0) * 100 + F.lit(0.5)) / 100).alias("avg_yearly"))
     )

@@ -61,10 +61,13 @@ def test_e5_single_data_shuffle(spark):
 
 def test_a17_aggregates_before_join(spark):
     """Decorrelated per-partkey AVG must reduce lineitem BEFORE the join
-    (the join input is |parts|, not |lineitem|)."""
+    (the join input is |parts|, not |lineitem|), and the aggregate's own
+    lineitem input must be pre-reduced by the broadcast LEFT SEMI against
+    the Brand#23 part keys (~25× less aggregate input at scale)."""
     plan = formatted_plan(tpch.a17(spark, SF_SMOKE))
     assert "HashAggregate" in plan and "Join" in plan
     assert plan.index("HashAggregate") < plan.index("Join")
+    assert "LeftSemi" in plan, "threshold aggregate must read semi-filtered lineitem"
 
 
 def test_whole_stage_codegen_active(spark):

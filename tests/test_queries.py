@@ -376,53 +376,49 @@ def test_orders_pareto_matches_independent_pandas(spark):
     assert 0.0 < res["gini"] < 1.0
 
 
-def test_registry_window_prioritizes_never_judged():
+def test_registry_window_freshness_rotation():
     """The driver judges the FIRST 50 registry entries each round. The
-    ordering contract: every query without an official CORRECTNESS row
-    ranks before every judged one (oracle-backed before rows-only), then
-    the rounding-migration re-certification queue in its declared
-    priority order, and the two judged no-oracle sketch twins rank dead
-    last. The judged set is discovered from CORRECTNESS_r*.json at the
-    repo root, so the window self-rotates when a new round's artifact
+    ordering contract (round-8 freshness rotation): never-judged queries
+    first (oracle-backed before rows-only), then judged oracle-backed
+    queries ordered by the round of their LATEST official CORRECTNESS
+    row (stalest first — each gate window re-certifies the 50 oldest
+    rows), and judged rows-only queries dead last (re-judging a sketch
+    twin can never hash-match; rows_only() declares them instead). The
+    latest-round map is discovered from CORRECTNESS_r*.json at the repo
+    root, so the window self-rotates when a new round's artifact
     lands."""
     import json
     from pathlib import Path
 
     from dask_distributed_vanilla_spark.plans.registry import (
-        _ROUNDING_MIGRATION_RECERT,
-        _driver_judged,
+        _driver_judged_rounds,
+        rows_only,
     )
 
     names = list(all_queries())
     oracles = all_oracles()
-    judged, no_oracle, post_migration = _driver_judged()
-    first_never = [n for n in names if n not in judged]
-    if first_never:  # false only once every query has an official row
+    latest = _driver_judged_rounds()
+    never = [n for n in names if n not in latest]
+    if never:  # false only once every query has an official row
         # never-judged queries must occupy a contiguous prefix
-        k = len(first_never)
-        assert set(names[:k]) == set(first_never)
+        k = len(never)
+        assert set(names[:k]) == set(never)
         # within it, oracle-backed before rows-only
         tail_rows_only = [n for n in names[:k] if n not in oracles]
         assert names[:k][k - len(tail_rows_only):] == tail_rows_only
     else:
         k = 0
-    # stale greens (migrated pre-r04 rows) follow, in declared priority
-    # order; once a round-≥4 artifact contains a name it leaves the queue
-    pending = [n for n in _ROUNDING_MIGRATION_RECERT
-               if n in judged and n not in post_migration]
-    assert names[k:k + len(pending)] == pending
-    # judged sketch twins never spend a slot again — EXCEPT the one
-    # final re-cert slot each spends while its only official row is
-    # still pre-migration (they close the r07 ledger; round-6 verdict
-    # task 1). Once a round-≥4 artifact contains a twin it must sit at
-    # the dead-last rank permanently.
-    twins_done = [n for n in no_oracle if n not in pending]
-    if twins_done:
-        assert set(names[-len(twins_done):]) == set(twins_done)
+    # judged oracle-backed: latest-round ascending (stalest first)
+    judged_oracle = [n for n in names[k:] if n in oracles]
+    rounds = [latest[n] for n in judged_oracle]
+    assert rounds == sorted(rounds), "stalest official rows must lead the window"
+    # judged rows-only queries sit dead last and match the declaration
+    judged_ro = [n for n in names[k:] if n not in oracles]
+    assert names[-len(judged_ro):] == judged_ro if judged_ro else True
+    assert set(rows_only()) == {n for n in names if n not in oracles}
     # artifacts on disk are reflected (self-maintenance)
     root = Path(__file__).resolve().parents[1]
     for f in root.glob("CORRECTNESS_r*.json"):
-        rows = set(json.loads(f.read_text()))
-        assert rows <= judged
-        if int(f.stem.split("_r")[1]) >= 4:
-            assert rows <= post_migration
+        rnd = int(f.stem.split("_r")[1])
+        for name in json.loads(f.read_text()):
+            assert latest.get(name, 0) >= rnd

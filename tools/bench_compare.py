@@ -5,9 +5,10 @@ with the bench.py full-record schema) per query on BEST-OF-REPS — the
 estimator least contaminated by host co-load (SCALE.md §auditing) —
 and prints the calibration context of both sides so a reader can see
 at a glance whether an apparent swing is attributable to code or to a
-loaded box. Older records (pre round 7) carry only medians; those are
-compared as-is and marked, since a median-vs-best comparison would
-manufacture fake improvements.
+loaded box. Older records (pre round 7) carry only medians; when either
+side lacks best-of, BOTH sides fall back to medians (every record has
+them), since a mixed median-vs-best comparison would manufacture fake
+improvements.
 
 Usage:
     python tools/bench_compare.py OLD.json NEW.json [--threshold 1.5]
@@ -30,10 +31,14 @@ def _load(path: str) -> dict:
     return d
 
 
-def _basis(d: dict) -> tuple[dict[str, float], str]:
-    if "queries_best" in d:
-        return d["queries_best"], "best"
-    return d["queries"], "median(pre-r07 record)"
+def _common_basis(old: dict, new: dict) -> tuple[dict, str, dict, str]:
+    """Pick the same estimator on BOTH sides: best-of when both records
+    carry it, otherwise medians from both (every record has 'queries') —
+    a mixed median-vs-best comparison would manufacture fake
+    improvements, the exact artifact this tool exists to prevent."""
+    if "queries_best" in old and "queries_best" in new:
+        return old["queries_best"], "best", new["queries_best"], "best"
+    return old["queries"], "median", new["queries"], "median"
 
 
 def main() -> None:
@@ -49,8 +54,7 @@ def main() -> None:
     args = ap.parse_args()
 
     old, new = _load(args.old), _load(args.new)
-    qo, bo = _basis(old)
-    qn, bn = _basis(new)
+    qo, bo, qn, bn = _common_basis(old, new)
 
     for side, d in (("old", old), ("new", new)):
         calib = d.get("calib")
@@ -68,6 +72,8 @@ def main() -> None:
     missing = sorted(set(qo) ^ set(qn))
     if missing:
         print(f"not in both records ({len(missing)}): {', '.join(missing)}")
+    if not common:
+        sys.exit("no query names in common — nothing to compare")
 
     ratios = []
     flagged = []
