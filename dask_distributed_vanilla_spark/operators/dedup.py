@@ -300,16 +300,19 @@ def dedup_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b", F.lit(1).alias("in_lsh")
     )
     m = exact.join(lsh, ["doc_a", "doc_b"], "full_outer")
+    # COUNT (not SUM) so empty pair sets report 0, never NULL — a
+    # degenerate corpus (every doc below the shingle width) yields zero
+    # pairs on both generators, and the audit must still agree with the
+    # COUNT(*)-based oracle. NULLIF guards the ratios: recall/precision
+    # are undefined (NULL) over an empty baseline, and ANSI Spark would
+    # otherwise refuse the division outright.
+    both = F.count(F.col("in_exact") * F.col("in_lsh"))  # non-null iff both sides
     return m.agg(
-        F.sum("in_exact").cast("long").alias("n_exact"),
-        F.sum("in_lsh").cast("long").alias("n_lsh"),
-        F.sum(F.col("in_exact") * F.col("in_lsh")).cast("long").alias("n_both"),
-        round2(
-            F.sum(F.col("in_exact") * F.col("in_lsh")) / F.sum("in_exact")
-        ).alias("recall"),
-        round2(
-            F.sum(F.col("in_exact") * F.col("in_lsh")) / F.sum("in_lsh")
-        ).alias("precision"),
+        F.count("in_exact").alias("n_exact"),
+        F.count("in_lsh").alias("n_lsh"),
+        both.alias("n_both"),
+        round2(both / F.nullif(F.count("in_exact"), F.lit(0))).alias("recall"),
+        round2(both / F.nullif(F.count("in_lsh"), F.lit(0))).alias("precision"),
     )
 
 
@@ -336,8 +339,8 @@ stats AS (
           JOIN lsh_pairs l ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b) AS n_both)
 SELECT CAST(n_exact AS BIGINT) AS n_exact, CAST(n_lsh AS BIGINT) AS n_lsh,
        CAST(n_both AS BIGINT) AS n_both,
-       {round2_sql("n_both * 1.0 / n_exact")} AS recall,
-       {round2_sql("n_both * 1.0 / n_lsh")} AS precision
+       {round2_sql("n_both * 1.0 / NULLIF(n_exact, 0)")} AS recall,
+       {round2_sql("n_both * 1.0 / NULLIF(n_lsh, 0)")} AS precision
 FROM stats
 """.replace("{chain}", _minhash_cte_chain())
 

@@ -318,12 +318,17 @@ def er_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = full.join(blocked, ["left_key", "right_key"], "full_outer")
     from dask_distributed_vanilla_spark.functions.rounding import round2
 
+    # COUNT (not SUM) so a match-free corpus reports 0, never NULL —
+    # matching the COUNT(*)-based oracle — and NULLIF leaves the recall
+    # NULL (undefined) over an empty ground-truth set instead of
+    # tripping ANSI division.
     return m.agg(
-        F.sum("in_full").cast("long").alias("n_full"),
-        F.sum("in_blocked").cast("long").alias("n_blocked"),
-        round2(F.sum(F.col("in_full") * F.col("in_blocked")) / F.sum("in_full")).alias(
-            "blocking_recall"
-        ),
+        F.count("in_full").alias("n_full"),
+        F.count("in_blocked").alias("n_blocked"),
+        round2(
+            F.count(F.col("in_full") * F.col("in_blocked"))
+            / F.nullif(F.count("in_full"), F.lit(0))
+        ).alias("blocking_recall"),
     )
 
 
@@ -345,7 +350,7 @@ stats AS (
          (SELECT COUNT(*) FROM full_pairs f
           JOIN blocked k ON f.left_key = k.left_key AND f.right_key = k.right_key) AS n_both)
 SELECT CAST(n_full AS BIGINT) AS n_full, CAST(n_blocked AS BIGINT) AS n_blocked,
-       FLOOR(n_both * 1.0 / n_full * 100 + 0.5) / 100 AS blocking_recall
+       FLOOR(n_both * 1.0 / NULLIF(n_full, 0) * 100 + 0.5) / 100 AS blocking_recall
 FROM stats
 """
 

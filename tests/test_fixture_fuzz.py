@@ -319,6 +319,15 @@ TEXT_FUZZED_OPS = [
     ("curation_report", None),
     ("shards_layout", None),
     ("quality_token_mix", None),
+    # round-8 completion: the last four unfuzzed documents-only oracle
+    # ops — sub-document chunk digests (empty/multibyte chunks),
+    # keep-best-per-cluster (quality ties on hostile corpora), cluster
+    # size histogram, and the LSH recall audit (whose ground-truth and
+    # LSH legs must agree with the oracle on degenerate shingle sets)
+    ("chunk_dedup", None),
+    ("cluster_best", None),
+    ("dedup_cluster_hist", None),
+    ("dedup_lsh_audit", None),
 ]
 
 
@@ -481,26 +490,52 @@ def test_er_chain_graph_matches_oracle_and_converges(spark, tmp_path):
     """Golden-record consolidation on a path-shaped match graph: the
     min-label loop must reach fixpoint (not stop at a fixed budget) and
     still agree with the recursive-CTE oracle; er_match_pairs agrees on
-    the full chain pair set."""
+    the full chain pair set. er_blocking and er_blocking_audit (round-8
+    addition) run on the same tape: the chain's consecutive matches
+    straddle the (nation, segment) blocks by construction (i%3 rotates
+    both keys), so blocking recall is genuinely low here — the audit's
+    hostile case — and both engines must price it identically."""
     t = _chain_customers(n_chain=30, n_noise=20)
     d = tmp_path / "er"
     d.mkdir()
     t.to_parquet(d / "customer.parquet")
-    for name in ("er_match_pairs", "er_golden_record"):
-        sdf = er_ops.QUERIES[name](spark, str(d)).toPandas()
-        con = duckdb.connect()
-        try:
-            con.execute(
-                f"CREATE VIEW customer AS SELECT * FROM '{d}/customer.parquet'"
+    # match-free corpus (every pairwise distance > 1): the audit's
+    # ground-truth set is EMPTY — counts must report 0 (not NULL) and
+    # recall NULL on both engines (the SUM-over-full-outer vs COUNT(*)
+    # divergence the round-8 fuzz found on dedup_lsh_audit)
+    t2 = pd.DataFrame(
+        {
+            "c_custkey": range(6),
+            "c_name": [f"wildly-different-{'qzjvkw'[i]*3}-{i}00" for i in range(6)],
+            "c_nationkey": [0, 0, 0, 1, 1, 1],
+            "c_acctbal": [float(i) for i in range(6)],
+            "c_mktsegment": ["BUILDING"] * 6,
+        }
+    )
+    d2 = tmp_path / "er_nomatch"
+    d2.mkdir()
+    t2.to_parquet(d2 / "customer.parquet")
+    for fixture_dir, shape in ((d, "chain graph"), (d2, "match-free corpus")):
+        for name in (
+            "er_match_pairs",
+            "er_golden_record",
+            "er_blocking",
+            "er_blocking_audit",
+        ):
+            sdf = er_ops.QUERIES[name](spark, str(fixture_dir)).toPandas()
+            con = duckdb.connect()
+            try:
+                con.execute(
+                    f"CREATE VIEW customer AS SELECT * FROM '{fixture_dir}/customer.parquet'"
+                )
+                odf = con.execute(er_ops.ORACLES[name]).fetchdf()
+            finally:
+                con.close()
+            s_schema, s_hash = canonical(sdf)
+            o_schema, o_hash = canonical(odf)
+            assert (len(sdf), s_schema, s_hash) == (len(odf), o_schema, o_hash), (
+                f"{name} diverges on {shape}\nspark:\n{sdf}\noracle:\n{odf}"
             )
-            odf = con.execute(er_ops.ORACLES[name]).fetchdf()
-        finally:
-            con.close()
-        s_schema, s_hash = canonical(sdf)
-        o_schema, o_hash = canonical(odf)
-        assert (len(sdf), s_schema, s_hash) == (len(odf), o_schema, o_hash), (
-            f"{name} diverges on chain graph\nspark:\n{sdf}\noracle:\n{odf}"
-        )
 
 
 # ---------------------------------------------------------------------------
