@@ -30,6 +30,21 @@ availableNow rate-stream canary with a disk checkpoint, recorded
 pre+post, so any future step-change in wall-clock is attributable to
 CPU vs I/O from the record alone.
 
+Per-family bracketing (round-9, after the official r08 record shipped
+~7 TPC-H/ANN rows inflated 2-3.7× by co-load that hit MID-suite — the
+pre/post-suite-only bracket read 0.92 and was structurally blind to a
+transient in the middle): the CPU + I/O probes now bracket every query
+FAMILY (each family's pre-probe is the previous family's post-probe,
+so the added cost is one warm best-of-2 probe per family, ~2s). A
+family whose bracket exceeds the tighter RECORD_CALIB_RATIO (1.15) or
+the I/O gate is re-run once under (presumably) cleaner conditions; the
+record keeps the run-set whose bracket probed cleaner for the median
+while best-of spans both, and the kept ratios land in family_calib so
+any residual contamination is attributable per family from the record
+alone. The /tmp I/O probe reports None (indeterminate) when /tmp is
+itself tmpfs, and shuffle spill stays on disk at sf >= 1 (round-8
+ADVICE items).
+
 Output contract (truncation-proof — the driver keeps only the LAST
 ~2,000 chars of stdout, which in round 3 cut the 176-query JSON and
 left BENCH_r03 undiagnosable): the FULL result (all per-query timings +
@@ -97,15 +112,26 @@ COLOAD_RATIO = 1.30
 IO_IDLE_SEC = 0.045
 IO_COLOAD_RATIO = 4.0
 
+# Per-family record gate (round-9, after the official r08 record shipped
+# ~7 TPC-H/ANN rows inflated 2-3.7× by co-load that hit MID-suite — a
+# pre/post-suite-only bracket read 0.92 and was structurally blind to
+# it). Probes now bracket every family; a family whose bracket exceeds
+# this tighter ratio (or the I/O gate) is re-run once and the record
+# keeps whichever run-set probed cleaner. 1.15 sits above same-session
+# idle repeat jitter (±6%, round-7 sensitivity check) and below the
+# smallest contamination worth acting on.
+RECORD_CALIB_RATIO = 1.15
 
-def _calibration_probe(spark) -> float:
-    """Best-of-3 wall time of a fixed all-core CPU-bound Spark job:
+
+def _calibration_probe(spark, reps: int = 3) -> float:
+    """Best-of-`reps` wall time of a fixed all-core CPU-bound Spark job:
     sum of (id%1000)*(id%7) over a 4B-row range — shuffle-free,
     input-free, ANSI-overflow-safe (≤ 6000·4e9 ≪ 2^63), so variance is
     pure scheduler/CPU contention. Best-of because co-load only adds
-    time; the first rep absorbs codegen compile."""
+    time; the first rep absorbs codegen compile (inter-family probes run
+    warm and use reps=2 to bound the bracketing overhead)."""
     best = float("inf")
-    for _ in range(3):
+    for _ in range(reps):
         t0 = time.perf_counter()
         spark.range(4_000_000_000).selectExpr(
             "sum((id % 1000) * (id % 7))"
@@ -114,14 +140,47 @@ def _calibration_probe(spark) -> float:
     return round(best, 3)
 
 
-def _io_probe() -> float:
+def _tmp_is_tmpfs() -> bool:
+    """True when /tmp itself is RAM-backed (tmpfs/ramfs) — then the I/O
+    microprobe has no disk to sense (round-8 ADVICE: it would read
+    ~0.0004s, the ratio would sit near zero, and the I/O co-load gate
+    would silently never fire against a host-specific IO_IDLE_SEC). The
+    probe reports None/indeterminate in that case."""
+    try:
+        real = os.path.realpath("/tmp")
+        best_mnt, fstype = "", ""
+        with open("/proc/mounts") as fh:
+            for line in fh:
+                parts = line.split()
+                if len(parts) < 3:
+                    continue
+                mnt = parts[1]
+                if (real == mnt or real.startswith(mnt.rstrip("/") + "/")) and len(
+                    mnt
+                ) > len(best_mnt):
+                    best_mnt, fstype = mnt, parts[2]
+        if best_mnt:
+            return fstype in ("tmpfs", "ramfs")
+        # no /proc/mounts match: fall back to device identity vs /dev/shm
+        return os.path.isdir("/dev/shm") and (
+            os.stat("/tmp").st_dev == os.stat("/dev/shm").st_dev
+        )
+    except OSError:
+        return False
+
+
+def _io_probe() -> float | None:
     """Best-of-3 wall time of a fixed small-file fsync workload on the
     DISK filesystem (/tmp, deliberately NOT the bench tmpfs): 32 ×
     (4 KiB write + fsync) + unlink. Senses the I/O-side contention
     (checkpoint/state-store fsyncs from a co-tenant, driver-host
     writers) that the all-core CPU probe is structurally blind to —
-    the r07 stream-family step-change's failure mode."""
+    the r07 stream-family step-change's failure mode. Returns None
+    (ratio indeterminate, never a fake pass) when /tmp is tmpfs."""
     import tempfile
+
+    if _tmp_is_tmpfs():
+        return None
 
     payload = b"\0" * 4096
     best = float("inf")
@@ -204,7 +263,12 @@ def main() -> None:
         tempfile.tempdir = os.path.join(scratch, "scratch")
         os.environ["TMPDIR"] = tempfile.tempdir
         conf["spark.sql.streaming.checkpointLocation"] = os.path.join(scratch, "ckpt")
-        conf["spark.local.dir"] = os.path.join(scratch, "local")
+        # shuffle spill stays on DISK at sf >= 1 (round-8 ADVICE): at
+        # large scale factors spill could exhaust tmpfs/RAM and fail the
+        # run rather than degrade; checkpoint/state-store + Python
+        # scratch (small, fsync-bound) keep the tmpfs decoupling.
+        if sf < 1.0:
+            conf["spark.local.dir"] = os.path.join(scratch, "local")
 
     spark = get_spark("bench", **conf)
     spark.sparkContext.setLogLevel("ERROR")
@@ -218,23 +282,78 @@ def main() -> None:
     canary_pre = _stream_canary(spark)
 
     queries = all_queries()
-    timings: dict[str, float] = {}
-    best: dict[str, float] = {}
+    by_family: dict[str, list[str]] = {}
     for name in sorted(queries):
-        runs = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            queries[name](spark, sf_dir).collect()
-            runs.append(time.perf_counter() - t0)
-        # sub-second medians sit at the JVM noise floor: extend to
-        # SUBSEC_REPS so round-over-round drift is separable from noise
-        if statistics.median(runs) < 1.0:
-            while len(runs) < SUBSEC_REPS:
+        by_family.setdefault(_family(name), []).append(name)
+
+    def _run_protocol(names: list[str]) -> dict[str, list[float]]:
+        out: dict[str, list[float]] = {}
+        for name in names:
+            runs: list[float] = []
+            for _ in range(reps):
                 t0 = time.perf_counter()
                 queries[name](spark, sf_dir).collect()
                 runs.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(runs), 3)
-        best[name] = round(min(runs), 3)
+            # sub-second medians sit at the JVM noise floor: extend to
+            # SUBSEC_REPS so round-over-round drift separates from noise
+            if statistics.median(runs) < 1.0:
+                while len(runs) < SUBSEC_REPS:
+                    t0 = time.perf_counter()
+                    queries[name](spark, sf_dir).collect()
+                    runs.append(time.perf_counter() - t0)
+            out[name] = runs
+        return out
+
+    def _bracket_ratios(
+        pre_cpu: float, post_cpu: float, pre_io: float | None, post_io: float | None
+    ) -> tuple[float | None, float | None]:
+        cpu = (
+            round(max(pre_cpu, post_cpu) / CALIB_IDLE_SEC, 3) if CALIB_IDLE_SEC else None
+        )
+        ios = [v for v in (pre_io, post_io) if v is not None]
+        io = round(max(ios) / IO_IDLE_SEC, 3) if ios and IO_IDLE_SEC else None
+        return cpu, io
+
+    # Per-family probe bracketing (round-9): the r08 contamination hit
+    # MID-suite, invisible to a pre/post-suite-only bracket (it read
+    # 0.92 while ~7 rows inflated 2-3.7×). Each family is bracketed by
+    # CPU+I/O probes (each family's pre is the previous family's post);
+    # a bracket over the tighter RECORD_CALIB_RATIO (or the I/O gate)
+    # re-runs the family once, and the record keeps whichever run-set
+    # probed cleaner for the median while best-of spans both.
+    timings: dict[str, float] = {}
+    best: dict[str, float] = {}
+    family_calib: dict[str, dict] = {}
+    prev_cpu, prev_io = calib_pre, io_pre
+    for fam in sorted(by_family):
+        runs_a = _run_protocol(by_family[fam])
+        mid_cpu, mid_io = _calibration_probe(spark, reps=2), _io_probe()
+        cpu_a, io_a = _bracket_ratios(prev_cpu, mid_cpu, prev_io, mid_io)
+        contaminated = (cpu_a is not None and cpu_a > RECORD_CALIB_RATIO) or (
+            io_a is not None and io_a > IO_COLOAD_RATIO
+        )
+        rec: dict = {"ratio": cpu_a, "io_ratio": io_a, "reran": contaminated}
+        chosen = runs_a
+        if contaminated:
+            runs_b = _run_protocol(by_family[fam])
+            end_cpu, end_io = _calibration_probe(spark, reps=2), _io_probe()
+            cpu_b, io_b = _bracket_ratios(mid_cpu, end_cpu, mid_io, end_io)
+            rec["ratio_rerun"], rec["io_ratio_rerun"] = cpu_b, io_b
+            if cpu_b is not None and (cpu_a is None or cpu_b <= cpu_a):
+                chosen = runs_b
+                rec["kept"] = "rerun"
+            else:
+                rec["kept"] = "first"
+            prev_cpu, prev_io = end_cpu, end_io
+        else:
+            prev_cpu, prev_io = mid_cpu, mid_io
+        for name in by_family[fam]:
+            timings[name] = round(statistics.median(chosen[name]), 3)
+            all_runs = runs_a[name] + (
+                runs_b[name] if contaminated else []
+            )
+            best[name] = round(min(all_runs), 3)
+        family_calib[fam] = rec
 
     calib_post = _calibration_probe(spark)
     io_post = _io_probe()
@@ -246,14 +365,26 @@ def main() -> None:
     # and only asserted when BOTH probes (CPU + disk I/O) say the box
     # was near idle on BOTH sides of the run; otherwise null
     # (indeterminate — a co-loaded box can't fail the budget).
-    calib_ratio = (
-        round(max(calib_pre, calib_post) / CALIB_IDLE_SEC, 3)
-        if CALIB_IDLE_SEC
-        else None
+    calib_ratio, io_ratio = _bracket_ratios(calib_pre, calib_post, io_pre, io_post)
+    # a family whose KEPT run-set still probed over the loose suite gate
+    # contaminates the suite verdict exactly like a suite-level bracket
+    fam_coloaded = sorted(
+        f
+        for f, r in family_calib.items()
+        if (
+            (r["ratio_rerun"] if r.get("kept") == "rerun" else r["ratio"]) or 0
+        )
+        > COLOAD_RATIO
+        or (
+            (r["io_ratio_rerun"] if r.get("kept") == "rerun" else r["io_ratio"])
+            or 0
+        )
+        > IO_COLOAD_RATIO
     )
-    io_ratio = round(max(io_pre, io_post) / IO_IDLE_SEC, 3) if IO_IDLE_SEC else None
-    coloaded = (calib_ratio is not None and calib_ratio > COLOAD_RATIO) or (
-        io_ratio is not None and io_ratio > IO_COLOAD_RATIO
+    coloaded = (
+        (calib_ratio is not None and calib_ratio > COLOAD_RATIO)
+        or (io_ratio is not None and io_ratio > IO_COLOAD_RATIO)
+        or bool(fam_coloaded)
     )
 
     def _verdict(value: float) -> bool | None:
@@ -347,6 +478,9 @@ def main() -> None:
             "canary_pre_sec": canary_pre,
             "canary_post_sec": canary_post,
             "coloaded": coloaded,
+            "record_ratio_gate": RECORD_CALIB_RATIO,
+            "fam_coloaded": fam_coloaded,
+            "fam_reran": sorted(f for f, r in family_calib.items() if r["reran"]),
         },
         "spark": spark.version,
         "cores": os.environ.get("SPARK_GRAFT_CPUS", "*"),
@@ -364,6 +498,7 @@ def main() -> None:
         "queries_best": best,
         "tpch_geomean_sec": tpch_geomean,
         "tpch_geomean_best_sec": tpch_geomean_best,
+        "family_calib": family_calib,
         "aux": aux,
         **config,
     }

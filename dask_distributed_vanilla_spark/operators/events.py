@@ -1600,9 +1600,19 @@ def e40_midhinge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NULL symmetry (round-8 ADVICE): the engine's GROUPED_AGG UDAF sees a
+# Spark NULL as NaN (Arrow conflates them) and returns NULL for the
+# whole group — the poisoned-group contract — while DuckDB's
+# quantile_cont silently IGNORES NULLs and returns a finite value. The
+# COUNT guard makes the oracle match the engine on NULL-bearing data.
+# (True float NaN VALUES in the column remain engine-NULL vs whatever
+# DuckDB's comparator does — un-oracle-able, and no parquet fixture or
+# fuzz emits NaN; the pytest NaN contract lives in test_queries.py.)
 E40_SQL = """
 SELECT event_type,
-       FLOOR((quantile_cont(value, 0.25) + quantile_cont(value, 0.75)) / 2 * 100 + 0.5) / 100 AS midhinge
+       CASE WHEN COUNT(*) <> COUNT(value) THEN NULL
+            ELSE FLOOR((quantile_cont(value, 0.25) + quantile_cont(value, 0.75)) / 2 * 100 + 0.5) / 100
+       END AS midhinge
 FROM events GROUP BY event_type ORDER BY event_type
 """
 

@@ -53,7 +53,10 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     #   4. judged rows-only queries, last — re-judging a sketch twin can
     #      never produce a hash match, so they only spend a slot when
     #      every oracle-backed name is fresher (their rows-only status
-    #      is declared to the driver via rows_only()).
+    #      is declared to the driver via rows_only()). Exception: a
+    #      rows-only name last judged BEFORE the declaration round gets
+    #      one repair pass at rank 2 so its permanent row stops reading
+    #      as an err:"no_oracle" failure (see _rank).
     from dask_distributed_vanilla_spark.operators import er, graph, lakehouse, quality
 
     mods = [tpch_full, events_stream, curation, dedup, events, tpch, asof, similarity, text, multimodal, lakehouse, graph, er, quality]
@@ -70,11 +73,28 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
         if judged_round is None:
             return (2, 0) if name not in oracles else (1, 0)
         if name not in oracles:
+            # One-time ledger repair (round-9 verdict item 2): a
+            # rows-only name whose LATEST official row predates the
+            # rows_only() declaration still carries an err:"no_oracle"
+            # row that reads as a failure. Give each ONE refresh pass
+            # through the gate window so the driver can re-record it
+            # under the declared rows-only protocol. Self-restoring:
+            # once the new round's CORRECTNESS artifact lands, the
+            # name's latest round is >= the declaration round and it
+            # drops back to dead last — no revert edit needed.
+            if judged_round < _ROWS_ONLY_DECLARED_ROUND:
+                return (2, judged_round)
             return (4, judged_round)
         return (3, judged_round)
 
     queries = dict(sorted(queries.items(), key=lambda kv: _rank(kv[0])))
     return queries, oracles
+
+
+# The round whose __spark_entry__ first exported rows_only() — official
+# rows recorded BEFORE it predate the declaration and still read as
+# err:"no_oracle" failures in the permanent ledger (see _rank).
+_ROWS_ONLY_DECLARED_ROUND = 8
 
 
 def _driver_judged_rounds() -> dict[str, int]:
@@ -83,14 +103,18 @@ def _driver_judged_rounds() -> dict[str, int]:
     Self-maintaining across rounds: every ``CORRECTNESS_r*.json`` at the
     repo root contributes its keys with its round number, so when a new
     round's file lands its 50 names become the freshest and rotate out
-    of the 50-entry gate window — no hardcoded set to update. Falls back
-    to the verbatim r01–r03 union (at round 3) if the artifacts are
-    absent (e.g. the package imported outside the repo checkout)."""
+    of the 50-entry gate window — no hardcoded set to update. The
+    verbatim r01–r03 union (seeded at round 3) is purely a FALLBACK for
+    when no artifact parses (e.g. the package imported outside the repo
+    checkout); when artifacts are present they alone decide, so a name
+    whose latest official row is r01/r02 is ranked at its true round
+    (round-8 ADVICE: the unconditional seed would have aged such a name
+    as r03-fresh)."""
     import json
     import re
     from pathlib import Path
 
-    latest: dict[str, int] = dict.fromkeys(_DRIVER_JUDGED_R01_R03, 3)
+    latest: dict[str, int] = {}
     root = Path(__file__).resolve().parents[2]
     for f in sorted(root.glob("CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)", f.name)
@@ -105,6 +129,8 @@ def _driver_judged_rounds() -> dict[str, int]:
             continue
         for name in rows:
             latest[name] = max(latest.get(name, 0), rnd)
+    if not latest:
+        return dict.fromkeys(_DRIVER_JUDGED_R01_R03, 3)
     return latest
 
 # Verbatim union of the key sets of CORRECTNESS_r01.json,

@@ -328,6 +328,53 @@ def test_midhinge_nan_group_yields_null(spark):
     assert got["b"] == 2.0
 
 
+def test_e40_null_group_engine_oracle_parity(spark, tmp_path):
+    """Round-8 ADVICE: a group containing a SQL NULL reaches the
+    GROUPED_AGG UDAF as NaN (Arrow conflation) and yields NULL, while a
+    bare DuckDB quantile_cont would IGNORE the NULL and return a finite
+    value — engine and oracle diverging on NULL-bearing data. The
+    COUNT-guarded E40_SQL must price the poisoned group as NULL on both
+    engines; the NULL-free group stays finite and identical."""
+    import duckdb
+    import pandas as pd
+
+    from dask_distributed_vanilla_spark.operators.events import E40_SQL, e40_midhinge
+    from dask_distributed_vanilla_spark.plans.canonical import canonical
+
+    rows = []
+    for i in range(20):
+        rows.append(
+            {
+                "event_id": i,
+                "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(i, unit="min"),
+                "user_id": i % 3,
+                "event_type": "click" if i % 2 == 0 else "view",
+                # every click-group row at i%6==0 is NULL: the click
+                # group is poisoned, the view group is clean
+                "value": None if i % 6 == 0 else float(10 + i),
+                "props": '{"k": 1}',
+            }
+        )
+    t = pd.DataFrame(rows)
+    t["ts"] = t["ts"].astype("datetime64[us]")
+    d = tmp_path / "e40null"
+    d.mkdir()
+    t.to_parquet(d / "events.parquet")
+
+    sdf = e40_midhinge(spark, str(d)).toPandas()
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+        odf = con.execute(E40_SQL).fetchdf()
+    finally:
+        con.close()
+    got = dict(zip(sdf["event_type"], sdf["midhinge"]))
+    assert pd.isna(got["click"]) and not pd.isna(got["view"])
+    s_schema, s_hash = canonical(sdf)
+    o_schema, o_hash = canonical(odf)
+    assert (len(sdf), s_schema, s_hash) == (len(odf), o_schema, o_hash)
+
+
 def test_map_in_arrow_digest_matches_pandas_path(spark):
     """mapInArrow — the Arrow-native per-batch API (no pandas
     materialization) — must produce identical per-asset digests to the
@@ -399,19 +446,25 @@ def test_orders_pareto_matches_independent_pandas(spark):
 
 def test_registry_window_freshness_rotation():
     """The driver judges the FIRST 50 registry entries each round. The
-    ordering contract (round-8 freshness rotation): never-judged queries
-    first (oracle-backed before rows-only), then judged oracle-backed
-    queries ordered by the round of their LATEST official CORRECTNESS
-    row (stalest first — each gate window re-certifies the 50 oldest
-    rows), and judged rows-only queries dead last (re-judging a sketch
-    twin can never hash-match; rows_only() declares them instead). The
-    latest-round map is discovered from CORRECTNESS_r*.json at the repo
-    root, so the window self-rotates when a new round's artifact
-    lands."""
+    ordering contract (round-8 freshness rotation + round-9 ledger
+    repair): never-judged queries first (oracle-backed before
+    rows-only), then rows-only names whose latest official row PREDATES
+    the rows_only() declaration round (one repair pass each, so their
+    permanent err:"no_oracle" rows get re-recorded under the declared
+    protocol), then judged oracle-backed queries ordered by the round
+    of their LATEST official CORRECTNESS row (stalest first — each gate
+    window re-certifies the 50 oldest rows), and post-declaration
+    judged rows-only queries dead last (re-judging a sketch twin can
+    never hash-match). The latest-round map is discovered from
+    CORRECTNESS_r*.json at the repo root, so the window self-rotates
+    when a new round's artifact lands — including the repair pass,
+    which self-expires once the repaired names carry a
+    post-declaration row."""
     import json
     from pathlib import Path
 
     from dask_distributed_vanilla_spark.plans.registry import (
+        _ROWS_ONLY_DECLARED_ROUND,
         _driver_judged_rounds,
         rows_only,
     )
@@ -429,12 +482,20 @@ def test_registry_window_freshness_rotation():
         assert names[:k][k - len(tail_rows_only):] == tail_rows_only
     else:
         k = 0
+    # pre-declaration rows-only names (repair pass) directly follow
+    repair = [
+        n for n in names
+        if n in latest and n not in oracles
+        and latest[n] < _ROWS_ONLY_DECLARED_ROUND
+    ]
+    m = k + len(repair)
+    assert set(names[k:m]) == set(repair)
     # judged oracle-backed: latest-round ascending (stalest first)
-    judged_oracle = [n for n in names[k:] if n in oracles]
+    judged_oracle = [n for n in names[m:] if n in oracles]
     rounds = [latest[n] for n in judged_oracle]
     assert rounds == sorted(rounds), "stalest official rows must lead the window"
-    # judged rows-only queries sit dead last and match the declaration
-    judged_ro = [n for n in names[k:] if n not in oracles]
+    # post-declaration judged rows-only queries sit dead last
+    judged_ro = [n for n in names[m:] if n not in oracles]
     assert names[-len(judged_ro):] == judged_ro if judged_ro else True
     assert set(rows_only()) == {n for n in names if n not in oracles}
     # artifacts on disk are reflected (self-maintenance)
