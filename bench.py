@@ -30,20 +30,28 @@ availableNow rate-stream canary with a disk checkpoint, recorded
 pre+post, so any future step-change in wall-clock is attributable to
 CPU vs I/O from the record alone.
 
-Per-family bracketing (round-9, after the official r08 record shipped
-~7 TPC-H/ANN rows inflated 2-3.7× by co-load that hit MID-suite — the
-pre/post-suite-only bracket read 0.92 and was structurally blind to a
-transient in the middle): the CPU + I/O probes now bracket every query
-FAMILY (each family's pre-probe is the previous family's post-probe,
-so the added cost is one warm best-of-2 probe per family, ~2s). A
-family whose bracket exceeds the tighter RECORD_CALIB_RATIO (1.15) or
-the I/O gate is re-run once under (presumably) cleaner conditions; the
-record keeps the run-set whose bracket probed cleaner for the median
-while best-of spans both, and the kept ratios land in family_calib so
-any residual contamination is attributable per family from the record
-alone. The /tmp I/O probe reports None (indeterminate) when /tmp is
-itself tmpfs, and shuffle spill stays on disk at sf >= 1 (round-8
-ADVICE items).
+Mid-suite contamination defense (round-9, after the official r08
+record shipped ~7 TPC-H/ANN rows inflated 2-3.7× by co-load that hit
+MID-suite — the pre/post-suite-only bracket read 0.92 and was
+structurally blind to a transient in the middle), two layers:
+(1) SEGMENT BRACKETS — queries run in the same alphabetical order as
+every prior record (execution position is part of the number: a
+family-grouped reorder trial moved the JVM-warm-up tax from a*/b*
+onto whichever family ran first and broke round-over-round
+comparability), and the CPU + I/O probes bracket every ~25-query
+segment (each segment's pre-probe is the previous one's post, one
+warm best-of-2 probe per segment). A segment whose bracket exceeds
+the tighter RECORD_CALIB_RATIO (1.15) or the I/O gate is re-run once;
+the record keeps the cleaner-probed run-set for the median while
+best-of spans both, with ratios in segment_calib.
+(2) RISER RE-CHECK — a burst shorter than a segment can inflate every
+rep of a few queries between two clean probes (observed ~1.5-3×), so
+any query whose fresh best-of exceeds 1.5× its committed
+previous-record best (same sf) is re-measured once at the end of the
+suite and min-merged: phantom risers fall, real regressions
+re-measure slow and stay.
+The /tmp I/O probe reports None (indeterminate) when /tmp is itself
+tmpfs, and shuffle spill stays on disk at sf >= 1 (round-8 ADVICE).
 
 Output contract (truncation-proof — the driver keeps only the LAST
 ~2,000 chars of stdout, which in round 3 cut the 176-query JSON and
@@ -112,15 +120,44 @@ COLOAD_RATIO = 1.30
 IO_IDLE_SEC = 0.045
 IO_COLOAD_RATIO = 4.0
 
-# Per-family record gate (round-9, after the official r08 record shipped
+# Segment record gate (round-9, after the official r08 record shipped
 # ~7 TPC-H/ANN rows inflated 2-3.7× by co-load that hit MID-suite — a
 # pre/post-suite-only bracket read 0.92 and was structurally blind to
-# it). Probes now bracket every family; a family whose bracket exceeds
-# this tighter ratio (or the I/O gate) is re-run once and the record
-# keeps whichever run-set probed cleaner. 1.15 sits above same-session
-# idle repeat jitter (±6%, round-7 sensitivity check) and below the
-# smallest contamination worth acting on.
+# it). Probes now bracket every ~25-query segment of the (historical,
+# alphabetical) run order; a segment whose bracket exceeds this tighter
+# ratio (or the I/O gate) is re-run once and the record keeps whichever
+# run-set probed cleaner. 1.15 sits above same-session idle repeat
+# jitter (±6%, round-7 sensitivity check) and below the smallest
+# contamination worth acting on.
 RECORD_CALIB_RATIO = 1.15
+SEGMENT_SIZE = 25
+
+# Riser re-check (round-9): a co-load burst SHORTER than a segment can
+# inflate every rep of a few queries while both adjacent probes read
+# clean (observed: ~1.5-3× on all reps with brackets at 0.91/1.48).
+# Any query whose fresh best-of exceeds RISER_RATIO × its committed
+# previous-record best (same sf, bench_last_full.json) is re-measured
+# once at the END of the suite; min-merge keeps the cleaner number, so
+# only phantom risers fall while a real regression re-measures slow
+# and stays. The floor skips sub-0.3s noise-band queries.
+RISER_RATIO = 1.5
+RISER_FLOOR_SEC = 0.3
+
+
+def _previous_record_best(sf: float) -> dict[str, float]:
+    """Per-query best-of from the committed previous record
+    (bench_last_full.json), empty when absent or at a different scale
+    factor — the riser re-check only compares like with like."""
+    try:
+        rec = json.loads(
+            (Path(__file__).resolve().parent / "bench_last_full.json").read_text()
+        )
+    except (OSError, ValueError):
+        return {}
+    if not isinstance(rec, dict) or rec.get("sf") != sf:
+        return {}
+    prev = rec.get("queries_best")
+    return prev if isinstance(prev, dict) else {}
 
 
 def _calibration_probe(spark, reps: int = 3) -> float:
@@ -282,13 +319,11 @@ def main() -> None:
     canary_pre = _stream_canary(spark)
 
     queries = all_queries()
-    by_family: dict[str, list[str]] = {}
-    for name in sorted(queries):
-        by_family.setdefault(_family(name), []).append(name)
+    names = sorted(queries)
 
-    def _run_protocol(names: list[str]) -> dict[str, list[float]]:
+    def _run_protocol(run_names: list[str]) -> dict[str, list[float]]:
         out: dict[str, list[float]] = {}
-        for name in names:
+        for name in run_names:
             runs: list[float] = []
             for _ in range(reps):
                 t0 = time.perf_counter()
@@ -314,28 +349,41 @@ def main() -> None:
         io = round(max(ios) / IO_IDLE_SEC, 3) if ios and IO_IDLE_SEC else None
         return cpu, io
 
-    # Per-family probe bracketing (round-9): the r08 contamination hit
+    # Segment probe bracketing (round-9): the r08 contamination hit
     # MID-suite, invisible to a pre/post-suite-only bracket (it read
-    # 0.92 while ~7 rows inflated 2-3.7×). Each family is bracketed by
-    # CPU+I/O probes (each family's pre is the previous family's post);
-    # a bracket over the tighter RECORD_CALIB_RATIO (or the I/O gate)
-    # re-runs the family once, and the record keeps whichever run-set
-    # probed cleaner for the median while best-of spans both.
+    # 0.92 while ~7 rows inflated 2-3.7×). Queries run in the SAME
+    # alphabetical order as every prior record (execution position is
+    # part of the number — a family-grouped reorder trial moved the
+    # JVM-warm-up tax from a*/b* onto whichever family ran first and
+    # broke round-over-round comparability); fixed ~25-query segments
+    # are bracketed by CPU+I/O probes (each segment's pre is the
+    # previous one's post). A bracket over the tighter
+    # RECORD_CALIB_RATIO (or the I/O gate) re-runs the segment once,
+    # and the record keeps whichever run-set probed cleaner for the
+    # median while best-of spans both.
     timings: dict[str, float] = {}
     best: dict[str, float] = {}
-    family_calib: dict[str, dict] = {}
+    segment_calib: list[dict] = []
+    segments = [
+        names[i : i + SEGMENT_SIZE] for i in range(0, len(names), SEGMENT_SIZE)
+    ]
     prev_cpu, prev_io = calib_pre, io_pre
-    for fam in sorted(by_family):
-        runs_a = _run_protocol(by_family[fam])
+    for seg in segments:
+        runs_a = _run_protocol(seg)
         mid_cpu, mid_io = _calibration_probe(spark, reps=2), _io_probe()
         cpu_a, io_a = _bracket_ratios(prev_cpu, mid_cpu, prev_io, mid_io)
         contaminated = (cpu_a is not None and cpu_a > RECORD_CALIB_RATIO) or (
             io_a is not None and io_a > IO_COLOAD_RATIO
         )
-        rec: dict = {"ratio": cpu_a, "io_ratio": io_a, "reran": contaminated}
+        rec: dict = {
+            "span": f"{seg[0]}..{seg[-1]}",
+            "ratio": cpu_a,
+            "io_ratio": io_a,
+            "reran": contaminated,
+        }
         chosen = runs_a
         if contaminated:
-            runs_b = _run_protocol(by_family[fam])
+            runs_b = _run_protocol(seg)
             end_cpu, end_io = _calibration_probe(spark, reps=2), _io_probe()
             cpu_b, io_b = _bracket_ratios(mid_cpu, end_cpu, mid_io, end_io)
             rec["ratio_rerun"], rec["io_ratio_rerun"] = cpu_b, io_b
@@ -347,13 +395,43 @@ def main() -> None:
             prev_cpu, prev_io = end_cpu, end_io
         else:
             prev_cpu, prev_io = mid_cpu, mid_io
-        for name in by_family[fam]:
+        for name in seg:
             timings[name] = round(statistics.median(chosen[name]), 3)
-            all_runs = runs_a[name] + (
-                runs_b[name] if contaminated else []
-            )
+            all_runs = runs_a[name] + (runs_b[name] if contaminated else [])
             best[name] = round(min(all_runs), 3)
-        family_calib[fam] = rec
+        segment_calib.append(rec)
+
+    # Riser re-check (round-9): segment brackets cannot see a co-load
+    # burst shorter than a segment that lands between two clean probes
+    # — the r08 failure mode reproduced in the reorder trial (all reps
+    # of several queries inflated ~1.5-3× while both adjacent probes
+    # read clean). The queries themselves are the most sensitive
+    # detector: any query whose fresh best-of lands > RISER_RATIO × its
+    # committed previous-record best (same sf) is re-measured once at
+    # the end of the suite, when the burst has typically passed, and
+    # the record keeps the cleaner run. A REAL regression re-measures
+    # just as slow and stays in the record; only phantom risers fall.
+    rechecked: dict[str, dict] = {}
+    prev_best = _previous_record_best(sf)
+    risers = [
+        n
+        for n in names
+        if n in prev_best
+        and best[n] > RISER_RATIO * prev_best[n]
+        and best[n] > RISER_FLOOR_SEC
+    ]
+    if risers:
+        runs_r = _run_protocol(risers)
+        for n in risers:
+            new_best = round(min(runs_r[n]), 3)
+            new_med = round(statistics.median(runs_r[n]), 3)
+            rechecked[n] = {
+                "prev": prev_best[n],
+                "first_best": best[n],
+                "recheck_best": new_best,
+            }
+            best[n] = min(best[n], new_best)
+            timings[n] = min(timings[n], new_med)
 
     calib_post = _calibration_probe(spark)
     io_post = _io_probe()
@@ -366,25 +444,22 @@ def main() -> None:
     # was near idle on BOTH sides of the run; otherwise null
     # (indeterminate — a co-loaded box can't fail the budget).
     calib_ratio, io_ratio = _bracket_ratios(calib_pre, calib_post, io_pre, io_post)
-    # a family whose KEPT run-set still probed over the loose suite gate
-    # contaminates the suite verdict exactly like a suite-level bracket
-    fam_coloaded = sorted(
-        f
-        for f, r in family_calib.items()
-        if (
-            (r["ratio_rerun"] if r.get("kept") == "rerun" else r["ratio"]) or 0
-        )
+    # a segment whose KEPT run-set still probed over the loose suite
+    # gate contaminates the suite verdict like a suite-level breach
+    seg_coloaded = [
+        r["span"]
+        for r in segment_calib
+        if ((r["ratio_rerun"] if r.get("kept") == "rerun" else r["ratio"]) or 0)
         > COLOAD_RATIO
         or (
-            (r["io_ratio_rerun"] if r.get("kept") == "rerun" else r["io_ratio"])
-            or 0
+            (r["io_ratio_rerun"] if r.get("kept") == "rerun" else r["io_ratio"]) or 0
         )
         > IO_COLOAD_RATIO
-    )
+    ]
     coloaded = (
         (calib_ratio is not None and calib_ratio > COLOAD_RATIO)
         or (io_ratio is not None and io_ratio > IO_COLOAD_RATIO)
-        or bool(fam_coloaded)
+        or bool(seg_coloaded)
     )
 
     def _verdict(value: float) -> bool | None:
@@ -479,8 +554,9 @@ def main() -> None:
             "canary_post_sec": canary_post,
             "coloaded": coloaded,
             "record_ratio_gate": RECORD_CALIB_RATIO,
-            "fam_coloaded": fam_coloaded,
-            "fam_reran": sorted(f for f, r in family_calib.items() if r["reran"]),
+            "seg_coloaded": seg_coloaded,
+            "seg_reran": [r["span"] for r in segment_calib if r["reran"]],
+            "rechecked": sorted(rechecked),
         },
         "spark": spark.version,
         "cores": os.environ.get("SPARK_GRAFT_CPUS", "*"),
@@ -498,7 +574,8 @@ def main() -> None:
         "queries_best": best,
         "tpch_geomean_sec": tpch_geomean,
         "tpch_geomean_best_sec": tpch_geomean_best,
-        "family_calib": family_calib,
+        "segment_calib": segment_calib,
+        "riser_recheck": rechecked,
         "aux": aux,
         **config,
     }

@@ -4,8 +4,9 @@ The bench harness is the permanent performance record's instrument —
 its probe plumbing deserves the same pinning as an operator. These
 cover the round-9 additions: the tmpfs guard on the disk I/O probe
 (round-8 ADVICE: on a host where /tmp is tmpfs the probe would read
-~0.0004s and the I/O gate would silently never fire) and the family
-classifier the per-family bracketing groups by.
+~0.0004s and the I/O gate would silently never fire), the family
+classifier the per-family reporting groups by, and the segment /
+riser-re-check thresholds.
 """
 
 from __future__ import annotations
@@ -66,7 +67,35 @@ def test_family_classifier_partitions_the_registry():
 
 
 def test_record_gate_is_tighter_than_suite_gate():
-    """The per-family record gate must sit strictly inside the loose
+    """The per-segment record gate must sit strictly inside the loose
     suite co-load gate (1.15 < 1.3) and above idle repeat jitter (~6%),
     or reruns would either never fire or fire on noise."""
     assert 1.06 < bench.RECORD_CALIB_RATIO < bench.COLOAD_RATIO
+
+
+def test_previous_record_best_gates_on_scale_factor():
+    """The riser re-check must only compare like with like: the
+    committed record is consulted only at ITS scale factor, and a
+    missing/mismatched record disables the re-check (empty dict)
+    rather than re-measuring against foreign numbers."""
+    import json
+    from pathlib import Path
+
+    rec_path = Path(bench.__file__).resolve().parent / "bench_last_full.json"
+    if not rec_path.exists():  # fresh checkout without a record
+        assert bench._previous_record_best(0.1) == {}
+        return
+    rec = json.loads(rec_path.read_text())
+    same = bench._previous_record_best(rec["sf"])
+    assert same == rec["queries_best"] and len(same) > 0
+    assert bench._previous_record_best(rec["sf"] + 123.0) == {}
+
+
+def test_riser_thresholds_are_sane():
+    """1.5× sits above the ±6% idle jitter and the ~1.2× first-segment
+    warm-up band; the 0.3s floor keeps noise-band sub-second queries
+    out of the re-check loop; segments are small enough that a 176-query
+    suite gets several probe points."""
+    assert 1.25 < bench.RISER_RATIO <= 2.0
+    assert 0.0 < bench.RISER_FLOOR_SEC <= 0.5
+    assert 10 <= bench.SEGMENT_SIZE <= 50
