@@ -150,3 +150,42 @@ def test_graph_cell_cap_drops_hot_cells(spark, monkeypatch):
 
     monkeypatch.setattr(graph, "CELL_CAP", 1)
     assert graph._edges(spark, SF_SMOKE).count() == 0
+
+
+def test_fastss_sig_occupancy_guard_warns(spark, monkeypatch):
+    """FastSS occupancy ceiling (the ER analog of the ngram DF_CAP pin):
+    a cap below the densest deletion bucket fires the RuntimeWarning at
+    candidate-join build time — and because FastSS recall is exact by
+    theorem, the guard must NEVER alter the result set it warns about."""
+    import warnings
+
+    from dask_distributed_vanilla_spark.operators import er
+
+    baseline = sorted(
+        (r.left_key, r.right_key, r.d) for r in er.er_match_pairs(spark, SF_SMOKE).collect()
+    )
+    monkeypatch.setattr(er, "SIG_DF_CAP", 1)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        capped = sorted(
+            (r.left_key, r.right_key, r.d)
+            for r in er.er_match_pairs(spark, SF_SMOKE).collect()
+        )
+    assert any(
+        issubclass(x.category, RuntimeWarning) and "occupancy" in str(x.message)
+        for x in w
+    ), "expected the bucket-occupancy RuntimeWarning under a cap of 1"
+    assert capped == baseline, "occupancy guard must not change exact results"
+
+
+def test_fastss_sig_occupancy_quiet_under_default_cap(spark):
+    """On the smoke fixture every deletion bucket sits under the default
+    ceiling — the green path emits no occupancy warning."""
+    import warnings
+
+    from dask_distributed_vanilla_spark.operators import er
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        er.er_match_pairs(spark, SF_SMOKE).count()
+    assert not [x for x in w if "occupancy" in str(x.message)]
