@@ -165,6 +165,7 @@ def test_fastss_sig_occupancy_guard_warns(spark, monkeypatch):
         (r.left_key, r.right_key, r.d) for r in er.er_match_pairs(spark, SF_SMOKE).collect()
     )
     monkeypatch.setattr(er, "SIG_DF_CAP", 1)
+    monkeypatch.setattr(er, "_SIG_GUARD_SEEN", set())
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         capped = sorted(
@@ -178,13 +179,15 @@ def test_fastss_sig_occupancy_guard_warns(spark, monkeypatch):
     assert capped == baseline, "occupancy guard must not change exact results"
 
 
-def test_fastss_sig_occupancy_quiet_under_default_cap(spark):
+def test_fastss_sig_occupancy_quiet_under_default_cap(spark, monkeypatch):
     """On the smoke fixture every deletion bucket sits under the default
-    ceiling — the green path emits no occupancy warning."""
+    ceiling — the green path emits no occupancy warning even with the
+    once-per-(dataset, cap) probe memo cleared."""
     import warnings
 
     from dask_distributed_vanilla_spark.operators import er
 
+    monkeypatch.setattr(er, "_SIG_GUARD_SEEN", set())
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         er.er_match_pairs(spark, SF_SMOKE).count()
