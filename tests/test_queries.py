@@ -504,3 +504,45 @@ def test_registry_window_freshness_rotation():
         rnd = int(f.stem.split("_r")[1])
         for name in json.loads(f.read_text()):
             assert latest.get(name, 0) >= rnd
+
+
+def test_e40_ulp_boundary_engine_oracle_parity(spark, tmp_path):
+    """Round-10 fuzz catch, pinned deterministically: this group's Q3
+    interpolates between 1.1 and 19.3 at frac 0.75, where the delta
+    form lo + (hi-lo)*frac lands one ulp BELOW the exact 14.75 while
+    DuckDB's convex combination lo*(1-frac) + hi*frac lands one ulp
+    above — flipping the half-up cent (7.37 vs 7.38) on the .xx5
+    midhinge boundary. The UDAF must use DuckDB's exact formula."""
+    import duckdb
+    import pandas as pd
+
+    from dask_distributed_vanilla_spark.operators.events import E40_SQL, e40_midhinge
+    from dask_distributed_vanilla_spark.plans.canonical import canonical
+
+    vals = [0.0] * 14 + [499.0, 500.0, 19.3, 403.6, 500.0, 1.1, 500.0, 0.0]
+    rows = [
+        {
+            "event_id": i,
+            "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(i, unit="s"),
+            "user_id": i % 4,
+            "event_type": "error",
+            "value": v,
+            "props": '{"k": 1}',
+        }
+        for i, v in enumerate(vals)
+    ]
+    t = pd.DataFrame(rows)
+    t["ts"] = t["ts"].astype("datetime64[us]")
+    d = tmp_path / "e40ulp"
+    d.mkdir()
+    t.to_parquet(d / "events.parquet")
+
+    sdf = e40_midhinge(spark, str(d)).toPandas()
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+        odf = con.execute(E40_SQL).fetchdf()
+    finally:
+        con.close()
+    assert sdf["midhinge"].iloc[0] == 7.38 == odf["midhinge"].iloc[0]
+    assert canonical(sdf) == canonical(odf)
