@@ -486,7 +486,11 @@ def test_python_streaming_datasource_offsets(spark, tmp_path):
     sink = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
 
-    def run_batches(n_batches):
+    def run_batches(target_batch_id):
+        # batchId CONTINUES across a checkpoint restart, so the caller
+        # passes an absolute target — waiting for a fixed count after
+        # restart would be satisfied by the very first progress report
+        # and the query could stop before any NEW batch commits.
         q = (
             spark.readStream.format("pycounter")
             .option("rows_per_batch", "5")
@@ -498,21 +502,25 @@ def test_python_streaming_datasource_offsets(spark, tmp_path):
             .start()
         )
         deadline = time.time() + 60
+        last = -1
         while time.time() < deadline:
             p = q.lastProgress
-            if p and p["batchId"] >= n_batches:
-                break
+            if p:
+                last = p["batchId"]
+                if last >= target_batch_id:
+                    break
             time.sleep(0.5)
         q.stop()
         q.awaitTermination()
+        return last
 
-    run_batches(3)
+    first_last = run_batches(3)
     n1 = spark.read.parquet(sink).count()
     assert n1 >= 15  # ≥3 committed batches of 5
     ids = sorted(r["id"] for r in spark.read.parquet(sink).collect())
     assert ids == list(range(len(ids)))  # contiguous, no gaps/dupes
 
-    run_batches(2)  # restart from the same checkpoint
+    run_batches(first_last + 2)  # restart: ≥2 batches BEYOND run 1's last
     ids2 = sorted(r["id"] for r in spark.read.parquet(sink).collect())
     assert ids2 == list(range(len(ids2)))  # resumed, still exactly-once
     assert len(ids2) > len(ids)
