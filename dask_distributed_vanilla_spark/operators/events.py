@@ -1674,7 +1674,13 @@ def e41_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_a = F.min("n_a").cast("double")
     n_b = F.min("n_b").cast("double")
     u_a = r_a - n_a * (n_a + 1) / 2
-    z = (u_a - n_a * n_b / 2) / F.sqrt(n_a * n_b * (n_a + n_b + 1) / 12)
+    # one-arm group (n_a or n_b = 0): the normal-approx z is undefined.
+    # DuckDB prices x/0e0 as NULL, so NULLIF makes the engine match —
+    # without it ANSI mode ABORTS the whole job on the degenerate group
+    # (round-10 fuzz catch). U_A stays defined (0 when n_a = 0).
+    z = (u_a - n_a * n_b / 2) / F.nullif(
+        F.sqrt(n_a * n_b * (n_a + n_b + 1) / 12), F.lit(0.0)
+    )
     return (
         ranked.groupBy("event_type")
         .agg(

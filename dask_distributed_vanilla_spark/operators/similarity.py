@@ -594,11 +594,18 @@ def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DOUBLE casts are load-bearing: DuckDB keeps list_min(FLOAT[]) as
+# FLOAT and FLOAT / DECIMAL(4,1) (the 255.0 literal) as FLOAT, so an
+# uncast oracle quantizes in float32 while the Spark engine's HOFs run
+# in float64 — the ~1e-8 per-element drift flips the half-up display
+# cent whenever a group's mae lands on a .xx5 boundary (round-10 fuzz
+# catch, pinned in test_emb_quantize_f32_oracle_boundary).
 EMB_QUANTIZE_SQL = """
 WITH q AS (
   SELECT label,
-         list_min(embedding) AS lo,
-         (list_max(embedding) - list_min(embedding)) / 255.0 AS scale,
+         CAST(list_min(embedding) AS DOUBLE) AS lo,
+         (CAST(list_max(embedding) AS DOUBLE)
+          - CAST(list_min(embedding) AS DOUBLE)) / CAST(255.0 AS DOUBLE) AS scale,
          embedding
   FROM embeddings),
 d AS (
@@ -607,8 +614,8 @@ d AS (
            list_sum(list_transform(
              list_zip(embedding,
                       list_transform(embedding,
-                        x -> round((x - lo) / scale) * scale + lo)),
-             p -> abs(p[1] - p[2]))) / len(embedding)
+                        x -> round((CAST(x AS DOUBLE) - lo) / scale) * scale + lo)),
+             p -> abs(CAST(p[1] AS DOUBLE) - p[2]))) / len(embedding)
          ELSE 0.0 END AS mae
   FROM q)
 SELECT label, COUNT(*) AS n_vecs,

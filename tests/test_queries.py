@@ -546,3 +546,95 @@ def test_e40_ulp_boundary_engine_oracle_parity(spark, tmp_path):
         con.close()
     assert sdf["midhinge"].iloc[0] == 7.38 == odf["midhinge"].iloc[0]
     assert canonical(sdf) == canonical(odf)
+
+
+def test_e41_one_arm_group_z_is_null_both_engines(spark, tmp_path):
+    """Round-10 fuzz catch, pinned: an event_type whose rows all land in
+    one A/B arm has sd = 0, so the normal-approx z is undefined — the
+    engine must emit NULL (NULLIF-guarded divide) exactly like DuckDB's
+    NULL-on-zero double division, not abort the job under ANSI mode.
+    U_A stays defined on both engines."""
+    import duckdb
+    import pandas as pd
+
+    from dask_distributed_vanilla_spark.operators.events import E41_SQL, e41_mannwhitney
+    from dask_distributed_vanilla_spark.plans.canonical import canonical
+
+    rows = []
+    for i in range(12):
+        rows.append(
+            {
+                "event_id": i,
+                "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(i, unit="s"),
+                # 'click' rows: alternating arms; 'error' rows: even
+                # user_ids only -> arm B empty for that type
+                "user_id": (i % 2) if i < 8 else 2,
+                "event_type": "click" if i < 8 else "error",
+                "value": float(i),
+                "props": '{"k": 1}',
+            }
+        )
+    t = pd.DataFrame(rows)
+    t["ts"] = t["ts"].astype("datetime64[us]")
+    d = tmp_path / "e41arm"
+    d.mkdir()
+    t.to_parquet(d / "events.parquet")
+
+    sdf = e41_mannwhitney(spark, str(d)).toPandas()
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+        odf = con.execute(E41_SQL).fetchdf()
+    finally:
+        con.close()
+    err = sdf.set_index("event_type").loc["error"]
+    assert err["n_b"] == 0 and pd.isna(err["z"])
+    assert not pd.isna(sdf.set_index("event_type").loc["click"]["z"])
+    assert canonical(sdf) == canonical(odf)
+
+
+def test_emb_quantize_f32_oracle_boundary(spark, tmp_path):
+    """Round-10 fuzz catch, pinned: this group's worst-vector MAE lands
+    on the 1.025e-3 display boundary, where an oracle quantizing in
+    float32 (DuckDB's FLOAT/DECIMAL stays FLOAT) reads one cent LOW
+    (1.02) while the engine's float64 HOFs read 1.03. The oracle's
+    DOUBLE casts must keep both sides at 1.03."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from dask_distributed_vanilla_spark.operators.similarity import (
+        EMB_QUANTIZE_SQL,
+        emb_quantize,
+    )
+    from dask_distributed_vanilla_spark.plans.canonical import canonical
+
+    vecs = [
+        [-0.8914214372634888, -0.2290588766336441, 0.4835372865200043,
+         0.027386486530303955, -0.6773968935012817, 0.6418770551681519,
+         0.2103477120399475, 0.2748453915119171],
+        [0.0] * 8,
+        [0.5651170611381531, 0.13563086092472076, 0.621529221534729,
+         -0.5455523729324341, -0.38501450419425964, 0.1408727765083313,
+         0.6760718822479248, -0.8382704854011536],
+    ]
+    t = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2],
+            "embedding": [np.array(v, dtype=np.float32) for v in vecs],
+            "label": [1, 1, 1],
+        }
+    )
+    d = tmp_path / "embulp"
+    d.mkdir()
+    t.to_parquet(d / "embeddings.parquet")
+
+    sdf = emb_quantize(spark, str(d)).toPandas()
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'")
+        odf = con.execute(EMB_QUANTIZE_SQL).fetchdf()
+    finally:
+        con.close()
+    assert sdf["max_mae_x1000"].iloc[0] == 1.03 == odf["max_mae_x1000"].iloc[0]
+    assert canonical(sdf) == canonical(odf)
