@@ -58,6 +58,11 @@ def midhinge(v: pd.Series) -> float:
         h = (n - 1) * p
         lo = int(h)
         frac = h - lo
+        if frac == 0:
+            # Mirror DuckDB's FRN==CRN short-circuit bit-exactly: at an
+            # integral index the convex form would still read x[lo+1],
+            # and x[lo]*1 + inf*0 = NaN if that neighbor is ±inf.
+            return x[lo]
         hi = min(lo + 1, n - 1)
         return x[lo] * (1 - frac) + x[hi] * frac
 

@@ -127,7 +127,10 @@ def er_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures are deduped BEFORE the verify so levenshtein runs once
     per pair. Candidate volume is bounded-by-contract: per-bucket work
     is occupancy², and `_guard_sig_occupancy` warns the moment any
-    bucket crosses SIG_DF_CAP (see the constant's doc above).
+    bucket crosses SIG_DF_CAP (see the constant's doc above). Note the
+    guard is an EAGER probe: the first call per (corpus, ceiling) in a
+    session runs one linear aggregate job at plan-construction time,
+    before the returned DataFrame is ever executed.
     """
     sigs = _sig_table(spark, sf_dir)
     _guard_sig_occupancy(sigs, sf_dir)
@@ -187,7 +190,13 @@ def _sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Occupancy probes already paid this session, keyed by (dataset, cap):
 # a dataset's bucket profile does not change between queries, so the
 # linear probe runs ONCE per corpus per ceiling, not once per call —
-# repeated ER queries over the same table pay zero repeat cost.
+# repeated ER queries over the same table pay zero repeat cost. The
+# dataset key is realpath-normalized so spelling variants of the same
+# corpus (trailing slash, relative path, symlink) share one probe.
+# Unbounded by design — it holds one tuple per distinct (corpus,
+# ceiling) a session ever queries, a handful in practice. Membership
+# reads on a builtin set are GIL-atomic; concurrent first queries on
+# the same corpus at worst both probe, which is harmless (warn twice).
 _SIG_GUARD_SEEN: set[tuple[str, int]] = set()
 
 
@@ -199,9 +208,9 @@ def _guard_sig_occupancy(sigs: DataFrame, sf_dir: str) -> None:
     once per (dataset, ceiling) per session. Exact semantics are never
     altered — see the SIG_DF_CAP doc for why FastSS, unlike n-gram
     shingling, cannot drop hot buckets."""
-    if SIG_DF_CAP <= 0 or (sf_dir, SIG_DF_CAP) in _SIG_GUARD_SEEN:
+    key = (os.path.realpath(sf_dir), SIG_DF_CAP)
+    if SIG_DF_CAP <= 0 or key in _SIG_GUARD_SEEN:
         return
-    _SIG_GUARD_SEEN.add((sf_dir, SIG_DF_CAP))
     hot = (
         sigs.groupBy("sig")
         .agg(F.count(F.lit(1)).alias("occ"))
@@ -209,6 +218,10 @@ def _guard_sig_occupancy(sigs: DataFrame, sf_dir: str) -> None:
         .agg(F.count(F.lit(1)).alias("n_hot"), F.max("occ").alias("worst"))
         .first()
     )
+    # Memoize only after the probe SUCCEEDS: a transient failure above
+    # (executor loss, interrupted job) must not permanently suppress
+    # the guard for this corpus for the rest of the session.
+    _SIG_GUARD_SEEN.add(key)
     if hot is not None and hot["n_hot"]:
         warnings.warn(
             f"FastSS: {hot['n_hot']} deletion bucket(s) exceed the occupancy "
@@ -222,7 +235,9 @@ def _guard_sig_occupancy(sigs: DataFrame, sf_dir: str) -> None:
 
 def _fastss_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL verified pair set (er_match_pairs without the display
-    limit) — the edge list downstream consolidation clusters on."""
+    limit) — the edge list downstream consolidation clusters on.
+    Shares er_match_pairs's eager occupancy probe: the first call per
+    (corpus, ceiling) runs one linear aggregate at construction time."""
     sigs = _sig_table(spark, sf_dir)
     _guard_sig_occupancy(sigs, sf_dir)
     a, b = sigs.repartition(F.col("sig")).alias("a"), sigs.alias("b")

@@ -550,7 +550,15 @@ def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from dask_distributed_vanilla_spark.functions.rounding import round2
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # Widen to float64 BEFORE any arithmetic: embedding arrives as
+    # array<float>, and uncast (hi - lo) / (x - lo) would round in
+    # float32 before the division widens — a ~2^-24 relative drift vs
+    # the all-DOUBLE oracle that can flip round()'s .5 quantization
+    # boundary or a .xx5 display cent (the round-10 fuzz-catch class).
+    # Same pattern as the other embedding operators' CAST(... AS DOUBLE).
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
     lo = F.array_min("embedding")
     hi = F.array_max("embedding")
     scale = (hi - lo) / F.lit(255.0)
@@ -596,10 +604,12 @@ def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # DOUBLE casts are load-bearing: DuckDB keeps list_min(FLOAT[]) as
 # FLOAT and FLOAT / DECIMAL(4,1) (the 255.0 literal) as FLOAT, so an
-# uncast oracle quantizes in float32 while the Spark engine's HOFs run
-# in float64 — the ~1e-8 per-element drift flips the half-up display
+# uncast oracle quantizes in float32 while the Spark engine runs in
+# float64 — the ~1e-8 per-element drift flips the half-up display
 # cent whenever a group's mae lands on a .xx5 boundary (round-10 fuzz
-# catch, pinned in test_emb_quantize_f32_oracle_boundary).
+# catch, pinned in test_emb_quantize_f32_oracle_boundary). Both sides
+# now widen BEFORE the subtractions (engine: array<double> cast at
+# load; oracle: the CASTs below), so the precisions match bit-exactly.
 EMB_QUANTIZE_SQL = """
 WITH q AS (
   SELECT label,

@@ -328,6 +328,22 @@ def test_midhinge_nan_group_yields_null(spark):
     assert got["b"] == 2.0
 
 
+def test_midhinge_integral_index_inf_neighbor(spark):
+    """frac == 0 must short-circuit to x[lo] (DuckDB's FRN==CRN branch):
+    n=5 puts both quartiles on integral indices, and the convex form
+    x[lo]*1 + x[hi]*0 would read the +inf neighbor and yield
+    inf*0 = NaN → NULL where DuckDB returns the finite x[lo]."""
+    from dask_distributed_vanilla_spark.functions.udafs import midhinge
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", float("inf"))],
+        "k string, v double",
+    )
+    got = df.groupBy("k").agg(midhinge("v").alias("mh")).collect()[0]["mh"]
+    # Q1 = x[1] = 2.0, Q3 = x[3] = 4.0 → midhinge 3.0, inf never touched
+    assert got == 3.0
+
+
 def test_e40_null_group_engine_oracle_parity(spark, tmp_path):
     """Round-8 ADVICE: a group containing a SQL NULL reaches the
     GROUPED_AGG UDAF as NaN (Arrow conflation) and yields NULL, while a
