@@ -1,0 +1,178 @@
+"""Proactive FP-boundary oracle audit (round-11 VERDICT task 1).
+
+All three round-10 fuzz catches were the same class: the oracle (or
+engine) carried a FLOAT32- or DECIMAL-typed intermediate where the
+other side ran float64, and the ~ulp drift flipped a half-up display
+boundary. Instead of waiting for fresh-seed fuzz to sample the next
+instance, this audit measures the class directly, oracle by oracle:
+
+Probe L (DECIMAL literals): DuckDB types a bare literal like ``0.5``
+as DECIMAL and keeps DECIMAL arithmetic exact; Spark computes the same
+expression in float64. Variant: every bare ``N.M`` literal (outside
+string literals) is rewritten to ``CAST(N.M AS DOUBLE)``.
+
+Probe E (FLOAT32 source column): ``embeddings.embedding`` is
+``FLOAT[]``; DuckDB keeps FLOAT/FLOAT and FLOAT/DECIMAL arithmetic in
+float32. Variant: the ``embeddings`` view pre-widens the column to
+``DOUBLE[]``.
+
+Each probe compares the variant against the as-is oracle at FULL
+precision (display rounding stripped: ``FLOOR``/``CEIL`` tokens deleted,
+``round()`` neutralized via a pass-through macro — identically in both
+variants, so the comparison isolates typing, not rounding). A full-
+precision hash difference means the oracle's exact/narrow typing is
+load-bearing mid-computation — i.e. a latent engine-vs-oracle
+divergence waiting for a fixture whose value lands on a .xx5 grid
+point. Matches mean the oracle's arithmetic is typing-insensitive on
+this data.
+
+Usage: python tools/audit_fp.py [--sf /root/testdata/sf0.01] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+from dask_distributed_vanilla_spark.catalog import TABLES
+from dask_distributed_vanilla_spark.plans.registry import all_oracles
+
+_STRING = re.compile(r"'[^']*'")
+_NUMLIT = re.compile(r"(?<![\w.$])(\d+\.\d+)(?![\w.])")
+
+
+def _mask_strings(sql: str) -> tuple[str, list[str]]:
+    saved: list[str] = []
+
+    def _stash(m: re.Match) -> str:
+        saved.append(m.group(0))
+        return f"\x00{len(saved) - 1}\x00"
+
+    return _STRING.sub(_stash, sql), saved
+
+
+def _unmask(sql: str, saved: list[str]) -> str:
+    return re.sub(r"\x00(\d+)\x00", lambda m: saved[int(m.group(1))], sql)
+
+
+def cast_literals(sql: str) -> str:
+    """Rewrite every bare decimal literal to CAST(lit AS DOUBLE)."""
+    masked, saved = _mask_strings(sql)
+    masked = _NUMLIT.sub(lambda m: f"CAST({m.group(1)} AS DOUBLE)", masked)
+    return _unmask(masked, saved)
+
+
+def strip_rounding(sql: str) -> str:
+    """Remove display rounding so the comparison runs at full float64
+    precision: FLOOR/CEIL tokens deleted (FLOOR(x) -> (x)), round()
+    routed to a pass-through macro. Applied identically to both sides
+    of every probe, so semantics changes (histogram buckets, group
+    keys) cancel out."""
+    masked, saved = _mask_strings(sql)
+    masked = re.sub(r"\b(floor|ceil|ceiling)\s*\(", "(", masked, flags=re.I)
+    masked = re.sub(r"\bround\s*\(", "__nr(", masked, flags=re.I)
+    return _unmask(masked, saved)
+
+
+def _render(df: pd.DataFrame, prec: int = 17) -> list[tuple]:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            df[c] = df[c].map(lambda v: "" if pd.isna(v) else f"{v:.{prec}g}")
+        else:
+            df[c] = df[c].astype(str)
+    return sorted(df.itertuples(index=False, name=None))
+
+
+def _connect(sf: str, widen_embeddings: bool) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    # single-threaded: parallel double summation order is
+    # nondeterministic, which would alias as a DIFF at %.17g precision
+    con.execute("SET threads=1")
+    con.execute("CREATE MACRO __nr(x, n := 0) AS x")
+    for t in TABLES:
+        if t == "embeddings" and widen_embeddings:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * REPLACE "
+                f"(CAST(embedding AS DOUBLE[]) AS embedding) "
+                f"FROM '{sf}/{t}.parquet'"
+            )
+        else:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    return con
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    oracles = all_oracles()
+    names = args.names or sorted(oracles)
+
+    con = _connect(args.sf, widen_embeddings=False)
+    con_wide = _connect(args.sf, widen_embeddings=True)
+
+    n_lit_sites = n_emb = 0
+    flags: list[str] = []
+    for name in names:
+        sql = oracles[name]
+        base_sql = strip_rounding(sql)
+        lit_sql = strip_rounding(cast_literals(sql))
+        has_lits = lit_sql != base_sql
+        has_emb = bool(re.search(r"\bembeddings?\b", sql))
+        n_lit_sites += has_lits
+        n_emb += has_emb
+        verdicts = []
+        try:
+            # Establish the per-oracle noise floor: some plans (iterative
+            # joins over float sums) are nondeterministic at the last ulp
+            # even single-threaded. Compare at the highest precision at
+            # which the base reproduces ITSELF, so a flag always means
+            # typing, never summation-order noise.
+            prec = 17
+            raw1 = con.execute(base_sql).fetchdf()
+            raw2 = con.execute(base_sql).fetchdf()
+            while prec > 6 and _render(raw1, prec) != _render(raw2, prec):
+                prec -= 1
+            base = _render(raw1, prec)
+        except Exception as e:
+            print(f"SKIP  {name}: unrounded base errored: {type(e).__name__}: {e}")
+            continue
+        noise = f" (noise floor {prec}g)" if prec < 17 else ""
+        if has_lits:
+            try:
+                lit = _render(con.execute(lit_sql).fetchdf(), prec)
+                verdicts.append(("L", lit == base))
+            except Exception as e:
+                verdicts.append(("L!err:" + type(e).__name__, False))
+        if has_emb:
+            try:
+                wide = _render(con_wide.execute(base_sql).fetchdf(), prec)
+                verdicts.append(("E", wide == base))
+            except Exception as e:
+                verdicts.append(("E!err:" + type(e).__name__, False))
+        if not verdicts:
+            continue
+        bad = [tag for tag, ok in verdicts if not ok]
+        status = "FLAG " if bad else "ok   "
+        if bad:
+            flags.append(f"{name}:{'+'.join(bad)}")
+        print(f"{status} {name}: " + " ".join(
+            f"{tag}={'==' if ok else 'DIFF'}" for tag, ok in verdicts) + noise)
+    print(
+        f"\nprobed {len(names)} oracles: {n_lit_sites} with decimal literals, "
+        f"{n_emb} touching embeddings; flags: {flags if flags else 'none'}"
+    )
+    return 1 if flags else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
