@@ -18,8 +18,9 @@ float32. Variant: the ``embeddings`` view pre-widens the column to
 
 Each probe compares the variant against the as-is oracle at FULL
 precision (display rounding stripped: ``FLOOR``/``CEIL`` tokens deleted,
-``round()`` neutralized via a pass-through macro — identically in both
-variants, so the comparison isolates typing, not rounding). A full-
+``round(expr[, n])`` reduced to ``(expr)`` by a paren-aware scan —
+identically in both variants, so the comparison isolates typing, not
+rounding). A full-
 precision hash difference means the oracle's exact/narrow typing is
 load-bearing mid-computation — i.e. a latent engine-vs-oracle
 divergence waiting for a fixture whose value lands on a .xx5 grid
@@ -44,7 +45,9 @@ from dask_distributed_vanilla_spark.catalog import TABLES
 from dask_distributed_vanilla_spark.plans.registry import all_oracles
 
 _STRING = re.compile(r"'[^']*'")
-_NUMLIT = re.compile(r"(?<![\w.$])(\d+\.\d+)(?![\w.])")
+# All three dot forms DuckDB types as DECIMAL: N.M, N., .M (ADVICE r11:
+# leading/trailing-dot literals escaped the original N.M-only pattern).
+_NUMLIT = re.compile(r"(?<![\w.$])(\d+\.\d*|\.\d+)(?![\w.])")
 
 
 def _mask_strings(sql: str) -> tuple[str, list[str]]:
@@ -68,15 +71,44 @@ def cast_literals(sql: str) -> str:
     return _unmask(masked, saved)
 
 
+def _strip_round_calls(masked: str) -> str:
+    """Rewrite ``round(expr[, n])`` -> ``(expr)`` with a paren-aware
+    scan (strings are already masked, so commas inside literals are
+    safe). DuckDB 1.0 macros cannot overload arity, so a pass-through
+    macro would reject positional two-arg calls (ADVICE r11); textual
+    stripping handles any arity. Re-scans from the start after each
+    rewrite, so nested round(round(x, 2), 1) resolves inside-out."""
+    pat = re.compile(r"\bround\s*\(", flags=re.I)
+    while True:
+        m = pat.search(masked)
+        if m is None:
+            return masked
+        depth, i = 1, m.end()
+        first_arg_end = None
+        while i < len(masked) and depth:
+            c = masked[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "," and depth == 1 and first_arg_end is None:
+                first_arg_end = i
+            i += 1
+        if depth:  # unbalanced: leave as-is rather than corrupt the SQL
+            return masked
+        arg1 = masked[m.end():first_arg_end if first_arg_end is not None else i - 1]
+        masked = masked[:m.start()] + "(" + arg1 + ")" + masked[i:]
+
+
 def strip_rounding(sql: str) -> str:
     """Remove display rounding so the comparison runs at full float64
     precision: FLOOR/CEIL tokens deleted (FLOOR(x) -> (x)), round()
-    routed to a pass-through macro. Applied identically to both sides
-    of every probe, so semantics changes (histogram buckets, group
-    keys) cancel out."""
+    calls reduced to their first argument. Applied identically to both
+    sides of every probe, so semantics changes (histogram buckets,
+    group keys) cancel out."""
     masked, saved = _mask_strings(sql)
     masked = re.sub(r"\b(floor|ceil|ceiling)\s*\(", "(", masked, flags=re.I)
-    masked = re.sub(r"\bround\s*\(", "__nr(", masked, flags=re.I)
+    masked = _strip_round_calls(masked)
     return _unmask(masked, saved)
 
 
@@ -95,7 +127,6 @@ def _connect(sf: str, widen_embeddings: bool) -> duckdb.DuckDBPyConnection:
     # single-threaded: parallel double summation order is
     # nondeterministic, which would alias as a DIFF at %.17g precision
     con.execute("SET threads=1")
-    con.execute("CREATE MACRO __nr(x, n := 0) AS x")
     for t in TABLES:
         if t == "embeddings" and widen_embeddings:
             con.execute(
@@ -122,6 +153,8 @@ def main() -> int:
 
     n_lit_sites = n_emb = 0
     flags: list[str] = []
+    skipped: list[str] = []
+    unprobed: list[str] = []
     for name in names:
         sql = oracles[name]
         base_sql = strip_rounding(sql)
@@ -145,6 +178,7 @@ def main() -> int:
             base = _render(raw1, prec)
         except Exception as e:
             print(f"SKIP  {name}: unrounded base errored: {type(e).__name__}: {e}")
+            skipped.append(name)
             continue
         noise = f" (noise floor {prec}g)" if prec < 17 else ""
         if has_lits:
@@ -160,6 +194,7 @@ def main() -> int:
             except Exception as e:
                 verdicts.append(("E!err:" + type(e).__name__, False))
         if not verdicts:
+            unprobed.append(name)
             continue
         bad = [tag for tag, ok in verdicts if not ok]
         status = "FLAG " if bad else "ok   "
@@ -167,11 +202,21 @@ def main() -> int:
             flags.append(f"{name}:{'+'.join(bad)}")
         print(f"{status} {name}: " + " ".join(
             f"{tag}={'==' if ok else 'DIFF'}" for tag, ok in verdicts) + noise)
+    n_probed = len(names) - len(skipped) - len(unprobed)
     print(
-        f"\nprobed {len(names)} oracles: {n_lit_sites} with decimal literals, "
-        f"{n_emb} touching embeddings; flags: {flags if flags else 'none'}"
+        f"\nprobed {n_probed}/{len(names)} oracles: {n_lit_sites} with decimal "
+        f"literals, {n_emb} touching embeddings; "
+        f"skipped (base errored after rounding-strip): "
+        f"{skipped if skipped else 0}; "
+        f"unprobed (no decimal literals, no embeddings -- typing-neutral "
+        f"by construction): {len(unprobed)}; "
+        f"flags: {flags if flags else 'none'}"
     )
-    return 1 if flags else 0
+    if skipped:
+        print("exit 2: skipped oracles were NOT audited -- fix strip_rounding "
+              "or the oracle, then re-run")
+    # 0 = clean, 1 = typing flags (latent divergence), 2 = coverage hole
+    return 1 if flags else (2 if skipped else 0)
 
 
 if __name__ == "__main__":
