@@ -337,7 +337,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "id",
                 "n",
                 (
-                    (1.0 - 0.85) / F.col("n")
+                    # teleport constant as the literal 0.15, NOT 1.0-0.85:
+                    # Python evaluates 1.0-0.85 to 0.15000000000000002 at
+                    # plan-build time, while the oracle's 0.15 casts to
+                    # double(0.15) -- a 4e-16 cross-side constant mismatch
+                    # of exactly the class the FP audit exists to remove
+                    0.15 / F.col("n")
                     + 0.85 * F.coalesce(F.col("c"), F.lit(0.0))
                 ).alias("r"),
             )

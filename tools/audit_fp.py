@@ -167,30 +167,45 @@ def main() -> int:
         try:
             # Establish the per-oracle noise floor: some plans (iterative
             # joins over float sums) are nondeterministic at the last ulp
-            # even single-threaded. Compare at the highest precision at
-            # which the base reproduces ITSELF, so a flag always means
-            # typing, never summation-order noise.
+            # even single-threaded, and can be BISTABLE — two consecutive
+            # runs may agree while a third lands on the other attractor
+            # (observed on graph_pagerank at sf0.001: 2-run floors said
+            # 15g, a later run differed at 15g). Four base runs, floor =
+            # highest precision at which ALL agree.
             prec = 17
-            raw1 = con.execute(base_sql).fetchdf()
-            raw2 = con.execute(base_sql).fetchdf()
-            while prec > 6 and _render(raw1, prec) != _render(raw2, prec):
+            raws = [con.execute(base_sql).fetchdf() for _ in range(4)]
+            while prec > 6 and len({tuple(map(tuple, _render(r, prec)))
+                                    for r in raws}) > 1:
                 prec -= 1
-            base = _render(raw1, prec)
+            base = _render(raws[0], prec)
         except Exception as e:
             print(f"SKIP  {name}: unrounded base errored: {type(e).__name__}: {e}")
             skipped.append(name)
             continue
         noise = f" (noise floor {prec}g)" if prec < 17 else ""
+
+        def _probe(c, q, prec=prec, base=base):
+            # A variant is a DIFFERENT query text -> possibly a different
+            # physical plan -> different summation order, which would
+            # alias as a typing DIFF. Run the variant twice and drop to
+            # the variant's own self-agreement precision before
+            # comparing, so a flag means the two texts compute different
+            # VALUES, not different orders.
+            v1 = c.execute(q).fetchdf()
+            v2 = c.execute(q).fetchdf()
+            p = prec
+            while p > 6 and _render(v1, p) != _render(v2, p):
+                p -= 1
+            return _render(v1, p) == _render(raws[0], p)
+
         if has_lits:
             try:
-                lit = _render(con.execute(lit_sql).fetchdf(), prec)
-                verdicts.append(("L", lit == base))
+                verdicts.append(("L", _probe(con, lit_sql)))
             except Exception as e:
                 verdicts.append(("L!err:" + type(e).__name__, False))
         if has_emb:
             try:
-                wide = _render(con_wide.execute(base_sql).fetchdf(), prec)
-                verdicts.append(("E", wide == base))
+                verdicts.append(("E", _probe(con_wide, base_sql)))
             except Exception as e:
                 verdicts.append(("E!err:" + type(e).__name__, False))
         if not verdicts:
