@@ -65,3 +65,23 @@ def test_no_registry_oracle_escapes_numlit():
             assert strict or tail in ("e", "E"), (
                 f"{name}: literal {m.group(0)!r} at {m.start()} escapes _NUMLIT"
             )
+
+
+def test_self_floor_shared_rigor_and_exit_codes():
+    """ADVICE r12: variant floors are measured by the same 4-run helper
+    as the base, and the helper detects a single off-attractor render
+    among four. Exit codes 0/1/2/3 are pinned by reading main()."""
+    import inspect
+    import pandas as pd
+    from tools.audit_fp import _self_floor
+
+    a = pd.DataFrame({"v": [0.123456789012345678]})
+    b = pd.DataFrame({"v": [0.123456789012345912]})  # differs at ~15g
+    assert _self_floor([a, a, a, a]) == 17
+    assert _self_floor([a, a, a, b]) < 17  # one bistable render lowers it
+    import tools.audit_fp as afp
+    src = inspect.getsource(afp.main)
+    probe_src = src[src.index("def _probe"):src.index("if has_lits")]
+    assert "range(4)" in probe_src and "_self_floor" in probe_src
+    assert "base=base" not in src  # dead parameter removed
+    assert "return 3" in src  # flags AND skips -> distinct exit code

@@ -60,3 +60,27 @@ def test_every_limit_oracle_probeable_or_adjudicated():
             assert name in ADJUDICATED, (
                 f"{name}: inner LIMIT needs adjudication in tools/audit_topk.py"
             )
+
+
+def test_split_trailing_cut_word_boundary_on_order():
+    # ADVICE r12: an identifier ending in 'order' followed by the token
+    # 'by' must not be misparsed as the cut ordering
+    assert split_trailing_cut("SELECT preorder by FROM t LIMIT 5") is None
+    base, order_by, n = split_trailing_cut(
+        "SELECT preorder by FROM t ORDER BY a LIMIT 5")
+    assert order_by == "a" and n == 5
+
+
+def test_adjudicated_entries_not_stale():
+    """ADVICE r12: every hand-adjudicated name must still exist in the
+    registry and still carry an inner/unprobeable LIMIT -- otherwise
+    the adjudication is a stale dict entry adjudicating nothing."""
+    oracles = all_oracles()
+    for name in ADJUDICATED:
+        assert name in oracles, f"{name}: adjudicated but no longer an oracle"
+        sql = oracles[name].rstrip().rstrip(";")
+        parts = split_trailing_cut(sql)
+        n_limits = len(re.findall(r"\bLIMIT\b", sql, re.I))
+        assert parts is None or n_limits > 1, (
+            f"{name}: adjudication stale -- no inner LIMIT remains"
+        )

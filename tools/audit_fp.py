@@ -122,6 +122,18 @@ def _render(df: pd.DataFrame, prec: int = 17) -> list[tuple]:
     return sorted(df.itertuples(index=False, name=None))
 
 
+def _self_floor(dfs: list[pd.DataFrame], start: int = 17) -> int:
+    """Highest precision (floor 7g) at which ALL renders of the same
+    query agree -- its summation-order noise floor. Shared by the base
+    (4 runs) and every variant (4 runs, ADVICE r12: 2-run
+    self-agreement under-measures bistable float-sum plans)."""
+    prec = start
+    while prec > 6 and len({tuple(map(tuple, _render(d, prec)))
+                            for d in dfs}) > 1:
+        prec -= 1
+    return prec
+
+
 def _connect(sf: str, widen_embeddings: bool) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     # single-threaded: parallel double summation order is
@@ -170,33 +182,25 @@ def main() -> int:
             # even single-threaded, and can be BISTABLE — two consecutive
             # runs may agree while a third lands on the other attractor
             # (observed on graph_pagerank at sf0.001: 2-run floors said
-            # 15g, a later run differed at 15g). Four base runs, floor =
-            # highest precision at which ALL agree.
-            prec = 17
+            # 15g, a later run differed at 15g).
             raws = [con.execute(base_sql).fetchdf() for _ in range(4)]
-            while prec > 6 and len({tuple(map(tuple, _render(r, prec)))
-                                    for r in raws}) > 1:
-                prec -= 1
-            base = _render(raws[0], prec)
+            prec = _self_floor(raws)
         except Exception as e:
             print(f"SKIP  {name}: unrounded base errored: {type(e).__name__}: {e}")
             skipped.append(name)
             continue
         noise = f" (noise floor {prec}g)" if prec < 17 else ""
 
-        def _probe(c, q, prec=prec, base=base):
+        def _probe(c, q, prec=prec):
             # A variant is a DIFFERENT query text -> possibly a different
             # physical plan -> different summation order, which would
-            # alias as a typing DIFF. Run the variant twice and drop to
-            # the variant's own self-agreement precision before
-            # comparing, so a flag means the two texts compute different
-            # VALUES, not different orders.
-            v1 = c.execute(q).fetchdf()
-            v2 = c.execute(q).fetchdf()
-            p = prec
-            while p > 6 and _render(v1, p) != _render(v2, p):
-                p -= 1
-            return _render(v1, p) == _render(raws[0], p)
+            # alias as a typing DIFF. Measure the variant's floor with
+            # the same 4-run rigor as the base and compare at the weaker
+            # of the two floors, so a flag means the two texts compute
+            # different VALUES, not different orders.
+            vs = [c.execute(q).fetchdf() for _ in range(4)]
+            p = min(prec, _self_floor(vs))
+            return _render(vs[0], p) == _render(raws[0], p)
 
         if has_lits:
             try:
@@ -230,7 +234,12 @@ def main() -> int:
     if skipped:
         print("exit 2: skipped oracles were NOT audited -- fix strip_rounding "
               "or the oracle, then re-run")
-    # 0 = clean, 1 = typing flags (latent divergence), 2 = coverage hole
+    # 0 = clean, 1 = typing flags (latent divergence), 2 = coverage
+    # hole, 3 = BOTH -- distinct so automation can't treat a
+    # flagged-but-partially-audited run as fully covered once the
+    # flags are fixed (ADVICE r12)
+    if flags and skipped:
+        return 3
     return 1 if flags else (2 if skipped else 0)
 
 

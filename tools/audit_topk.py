@@ -78,7 +78,9 @@ def split_trailing_cut(sql: str) -> tuple[str, str, int] | None:
             depth += 1
         elif c == ")":
             depth -= 1
-        elif depth == 0 and masked[i : i + 5].upper() == "ORDER":
+        elif depth == 0 and masked[i : i + 5].upper() == "ORDER" and (
+            i == 0 or (not masked[i - 1].isalnum() and masked[i - 1] != "_")
+        ):  # word-boundary guard: 'preorder by' is not a cut (ADVICE r12)
             ob = re.match(r"ORDER\s+BY\b", masked[i:], re.I)
             if ob:
                 last_ob = (i, i + ob.end())
