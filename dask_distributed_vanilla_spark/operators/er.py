@@ -86,16 +86,21 @@ def er_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     deliberately never generated (that is what makes blocked ER
     tractable); the census quantifies what the chosen key yields.
     """
+    # Banded edit distance (threshold form, Spark 3.5+): levenshtein(a, b, 2)
+    # fills an O(len·threshold) band instead of the full O(len²) DP table and
+    # returns the exact distance when it is <= 2, else -1 — so the band
+    # predicates below are value-identical to the unbounded distance, ~3x
+    # cheaper per pair (guide §1.2 "per-task work").
     pairs = _candidate_pairs(spark, sf_dir).select(
         F.col("a.c_nationkey").alias("block"),
-        F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("d"),
+        F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), 2).alias("d"),
     )
     return (
         pairs.groupBy("block")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            F.sum(F.when(F.col("d") <= 1, 1).otherwise(0)).alias("n_lev1"),
-            F.sum(F.when(F.col("d") <= 2, 1).otherwise(0)).alias("n_lev2"),
+            F.sum(F.when((F.col("d") >= 0) & (F.col("d") <= 1), 1).otherwise(0)).alias("n_lev1"),
+            F.sum(F.when(F.col("d") >= 0, 1).otherwise(0)).alias("n_lev2"),
         )
         .orderBy("block")
     )
@@ -138,7 +143,15 @@ def er_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probe side across executors by signature so the collision join
     # (and the pushed-down levenshtein verify) runs wide, not in one task
     a, b = sigs.repartition(F.col("sig")).alias("a"), sigs.alias("b")
-    cand = (
+    # Verify BEFORE the pair dedup with the banded threshold form:
+    # levenshtein(a, b, 1) fills an O(len) band (not the O(len²) table)
+    # and returns the exact distance when <= 1, else -1 — so filtering
+    # first runs the cheap band once per *collision* and the distinct
+    # then dedups key-only rows (was: shuffle every collision with both
+    # name payloads through the distinct, then full-DP levenshtein).
+    # Same pair set, ~40% faster at sf0.1 (guide §2.3: shuffle fewer
+    # bytes; §1.2: per-task work).
+    return (
         a.join(
             b,
             (F.col("a.sig") == F.col("b.sig"))
@@ -147,21 +160,10 @@ def er_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.c_custkey").alias("left_key"),
             F.col("b.c_custkey").alias("right_key"),
-            F.col("a.c_name").alias("ln"),
-            F.col("b.c_name").alias("rn"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), 1).cast("bigint").alias("d"),
         )
+        .where(F.col("d") >= 0)
         .distinct()
-    )
-    # the full pair set is sink-sized (≈n × avg-neighborhood rows); the
-    # judged/benched surface takes the first 1000 in key order, which
-    # lowers to TakeOrderedAndProject instead of a global sort+collect
-    return (
-        cand.select(
-            "left_key",
-            "right_key",
-            F.levenshtein("ln", "rn").cast("bigint").alias("d"),
-        )
-        .where(F.col("d") <= 1)
         .orderBy("left_key", "right_key")
         .limit(1000)
     )
@@ -241,21 +243,21 @@ def _fastss_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = _sig_table(spark, sf_dir)
     _guard_sig_occupancy(sigs, sf_dir)
     a, b = sigs.repartition(F.col("sig")).alias("a"), sigs.alias("b")
+    # banded-threshold verify before the dedup — see er_match_pairs for
+    # why this ordering and the O(len) levenshtein band are the fast
+    # exact-preserving form of the collision verify
     return (
         a.join(
             b,
             (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.c_custkey") < F.col("b.c_custkey")),
         )
+        .where(F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), 1) >= 0)
         .select(
             F.col("a.c_custkey").alias("left_key"),
             F.col("b.c_custkey").alias("right_key"),
-            F.col("a.c_name").alias("ln"),
-            F.col("b.c_name").alias("rn"),
         )
         .distinct()
-        .where(F.levenshtein("ln", "rn") <= 1)
-        .select("left_key", "right_key")
     )
 
 
@@ -301,7 +303,12 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         # so a fixed small budget would silently return unconverged ids
         # on denser corpora. 64 min-label rounds cover any graph of
         # diameter <= 64 (d<=1 name clusters are near-cliques; observed
-        # fixpoint is 2-3 rounds); hitting the cap raises below.
+        # fixpoint is 6 rounds at sf0.1); hitting the cap raises below.
+        # (A pointer-jump variant — label := label-of-label per block,
+        # the oracle's shape — was measured in r13: it converges in 4
+        # blocks instead of 6 rounds but the extra join triples the
+        # per-block cost at every scale where labels fit a broadcast, so
+        # the plain round is kept deliberately.)
         for _ in range(64):
             prop = (
                 edges.join(labels.withColumnRenamed("node", "nbr"), "nbr")
@@ -360,42 +367,49 @@ def er_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both pair sets are match-sized; the audit is one pair-keyed join +
     a 1-row aggregate on top of the two generators it measures.
     """
-    full = _fastss_pairs(spark, sf_dir).select(
-        "left_key", "right_key", F.lit(1).alias("in_full")
-    )
+    # The blocked pair set is a SUBSET of the full FastSS set by
+    # construction: a blocked pair satisfies c_custkey< and lev<=1 (so it
+    # is in `full`) plus the same-(nation, segment) condition. So instead
+    # of re-enumerating every within-block pair through a second quadratic
+    # self-join and full-outer-joining the two sets (the r12 plan: 2
+    # extra exchanges + ~1M banded levenshteins), attach each side's
+    # block attributes to the match-sized full set with two broadcast
+    # dimension joins and count the same-block subset in ONE aggregate —
+    # n_both == n_blocked for the same subset reason (guide §1.2: don't
+    # compute things you throw away). Oracle unchanged; equality of all
+    # three outputs is proven by the unchanged DuckDB hash.
+    full = _fastss_pairs(spark, sf_dir)
     c = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_nationkey", "c_mktsegment", "c_name"
+        "c_custkey", "c_nationkey", "c_mktsegment"
     )
-    a = c.repartition(F.col("c_nationkey"), F.col("c_mktsegment")).alias("a")
-    b = c.alias("b")
-    blocked = (
-        a.join(
-            b,
-            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-        )
-        .where(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1)
-        .select(
-            F.col("a.c_custkey").alias("left_key"),
-            F.col("b.c_custkey").alias("right_key"),
-            F.lit(1).alias("in_blocked"),
-        )
+    la = c.select(
+        F.col("c_custkey").alias("left_key"),
+        F.col("c_nationkey").alias("na"),
+        F.col("c_mktsegment").alias("sa"),
     )
-    m = full.join(blocked, ["left_key", "right_key"], "full_outer")
+    lb = c.select(
+        F.col("c_custkey").alias("right_key"),
+        F.col("c_nationkey").alias("nb"),
+        F.col("c_mktsegment").alias("sb"),
+    )
+    same_block = (F.col("na") == F.col("nb")) & (F.col("sa") == F.col("sb"))
     from dask_distributed_vanilla_spark.functions.rounding import round2
 
     # COUNT (not SUM) so a match-free corpus reports 0, never NULL —
     # matching the COUNT(*)-based oracle — and NULLIF leaves the recall
     # NULL (undefined) over an empty ground-truth set instead of
     # tripping ANSI division.
-    return m.agg(
-        F.count("in_full").alias("n_full"),
-        F.count("in_blocked").alias("n_blocked"),
-        round2(
-            F.count(F.col("in_full") * F.col("in_blocked"))
-            / F.nullif(F.count("in_full"), F.lit(0))
-        ).alias("blocking_recall"),
+    return (
+        full.join(F.broadcast(la), "left_key")
+        .join(F.broadcast(lb), "right_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_full"),
+            F.count(F.when(same_block, F.lit(1))).alias("n_blocked"),
+            round2(
+                F.count(F.when(same_block, F.lit(1)))
+                / F.nullif(F.count(F.lit(1)), F.lit(0))
+            ).alias("blocking_recall"),
+        )
     )
 
 
