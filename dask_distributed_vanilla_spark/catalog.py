@@ -54,6 +54,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin the frame across the cluster when (and only when) its
+    scan is narrower than the available cores.
+
+    The sf fixtures are single-row-group parquet files, so every scan —
+    and with it all map-side work Catalyst fuses into the scan stage:
+    split/explode/md5/levenshtein and the partial half of the first
+    aggregation — runs as ONE task on a 32-core box (r13 measurement:
+    the minhash signature pass spent ~1s single-threaded). Callers with
+    CPU-heavy per-row work repartition the (small) base rows first so
+    the fused stage runs wide. Scale-adaptive by construction: a real
+    corpus scans as thousands of splits, `n >= cores` holds, and this is
+    the identity — no shuffle is ever added at 100 TB (guide §2.5 input
+    skew / §6 `files.minPartitionNum`, which cannot split a
+    single-row-group file and so is done here instead)."""
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    return df.repartition(cores) if df.rdd.getNumPartitions() < cores else df
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
     """Register each table as a temp view so `spark.sql` sees the schema."""
     for name in tables:

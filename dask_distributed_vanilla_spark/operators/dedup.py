@@ -24,7 +24,7 @@ import warnings
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dask_distributed_vanilla_spark.catalog import load_table
+from dask_distributed_vanilla_spark.catalog import load_table, spread
 from dask_distributed_vanilla_spark.functions.rounding import round2, round2_sql
 
 # Word n-gram size, minhash width, LSH banding, and the near-dup
@@ -83,7 +83,11 @@ def _shingle_table(spark: SparkSession, sf_dir: str, materialize: bool = False) 
     cluster, executor loss forces a query retry (no lineage) — the
     standard trade for checkpointed intermediates.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # spread the (tiny) doc rows BEFORE the explode so the shingle
+    # build — and the partitions every downstream consumer (broadcast
+    # probe sides, partial aggregations) inherits from the checkpoint —
+    # runs on all cores instead of the single-row-group scan's one task
+    docs = spread(load_table(spark, sf_dir, "documents"))
     words = docs.select("doc_id", F.split(F.col("text"), " ").alias("words"))
     sh = words.select(
         "doc_id", F.explode(F.array_distinct(shingles_from_words(F.col("words")))).alias("sh")
@@ -121,7 +125,9 @@ FROM documents GROUP BY 1 ORDER BY 1
 
 
 # --- n-gram Jaccard near-dup (exact baseline) ---------------------------
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, sh0: DataFrame | None = None
+) -> DataFrame:
     """Near-duplicate pairs with word-{3}-gram Jaccard ≥ {thr}.
 
     Exact algorithm: shingle-inverted-index self-join → per-pair common
@@ -137,16 +143,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the universe before BOTH the pair join and the per-doc counts
     (stop-shingle removal, mirrored in the oracle), bounding the worst
     shingle's pair contribution to DF_CAP² instead of corpus².
+
+    ``sh0`` lets a composing query (dedup_lsh_audit) pass the one
+    materialized shingle table both its sides share.
     """
-    sh = _shingle_table(spark, sf_dir, materialize=True)
-    df_tbl = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    kept = df_tbl.where(F.col("df") <= DF_CAP)
-    sh = sh.join(kept.select("sh"), "sh", "left_semi")
+    if sh0 is None:
+        sh0 = _shingle_table(spark, sf_dir, materialize=True)
+    df_tbl = sh0.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    # ONE df-carrying join replaces the former pair of successive
+    # left-semi joins on the same key (keep df<=CAP for the counts,
+    # then df>1 for the pair join): the inner join against the
+    # capped df table yields identical rows and the posting-list
+    # filter becomes a free predicate on the carried df column —
+    # one exchange instead of two over the shingle table (guide §2.4)
+    sh = sh0.join(df_tbl.where(F.col("df") <= DF_CAP), "sh")
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    shared = kept.where(F.col("df") > 1).select("sh")
-    sh = sh.join(shared, "sh", "left_semi")
-    a = sh.alias("a")
-    b = sh.alias("b")
+    paired = sh.where(F.col("df") > 1).select("doc_id", "sh")
+    a = paired.alias("a")
+    b = paired.alias("b")
     common = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -206,7 +220,9 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, sh0: DataFrame | None = None
+) -> DataFrame:
     """Near-dup pairs via MinHash signatures + banded LSH + exact verify.
 
     Pipeline: K minhashes per doc → {B} band digests → candidate pairs =
@@ -216,7 +232,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys are fixed-width, and band buckets parallelize freely.
     """
     rows_per_band = MINHASH_K // LSH_BANDS
-    sh_base = _shingle_table(spark, sf_dir, materialize=True)
+    sh_base = sh0 if sh0 is not None else _shingle_table(spark, sf_dir, materialize=True)
     hs = sh_base.select("doc_id", F.md5(F.col("sh")).alias("h"))
     sig = hs.groupBy("doc_id").agg(
         *[
@@ -293,10 +309,14 @@ def dedup_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two operators it audits plus one pair-keyed full-outer join of
     their (small) output sets.
     """
-    exact = dedup_ngram_jaccard(spark, sf_dir).select(
+    # ONE materialized shingle table feeds both generators (each used to
+    # checkpoint its own copy of the identical explode — guide §1.2:
+    # don't compute things twice)
+    sh0 = _shingle_table(spark, sf_dir, materialize=True)
+    exact = dedup_ngram_jaccard(spark, sf_dir, sh0=sh0).select(
         "doc_a", "doc_b", F.lit(1).alias("in_exact")
     )
-    lsh = dedup_minhash_lsh(spark, sf_dir).select(
+    lsh = dedup_minhash_lsh(spark, sf_dir, sh0=sh0).select(
         "doc_a", "doc_b", F.lit(1).alias("in_lsh")
     )
     m = exact.join(lsh, ["doc_a", "doc_b"], "full_outer")
@@ -651,25 +671,51 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     unordered pair is emitted once per direction that crosses the
     threshold (direction matters: contained ≠ containing).
     """
-    sh = _shingle_table(spark, sf_dir, materialize=True)
-    df_tbl = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    kept = df_tbl.where(F.col("df") <= DF_CAP)
-    sh = sh.join(kept.select("sh"), "sh", "left_semi")
+    sh0 = _shingle_table(spark, sf_dir, materialize=True)
+    df_tbl = sh0.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    # same fused df-carrying join as the Jaccard baseline (one exchange
+    # replaces two successive semi-joins)
+    sh = sh0.join(df_tbl.where(F.col("df") <= DF_CAP), "sh")
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    shared = kept.where(F.col("df") > 1).select("sh")
-    sh = sh.join(shared, "sh", "left_semi")
-    a, b = sh.alias("a"), sh.alias("b")
+    paired = sh.where(F.col("df") > 1).select("doc_id", "sh")
+    a, b = paired.alias("a"), paired.alias("b")
+    # n_common is symmetric, so enumerate each unordered pair ONCE
+    # (a.doc_id < b.doc_id — half the join probe output and half the
+    # pair aggregation of the former a != b form), then emit the two
+    # directed containment rows per pair with a 2-way explode over the
+    # aggregated (match-sized) table. Same output set: direction (x, y)
+    # survives iff n_common / n_x clears the threshold, exactly as when
+    # both directions were enumerated by the join (guide §1.2).
     common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    cont = F.col("n_common") / F.col("n_a")
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    both = common.join(ca, "doc_a").join(cb, "doc_b").select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("da"),
+                    F.col("doc_b").alias("db"),
+                    (F.col("n_common") / F.col("n_a")).alias("cont"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("da"),
+                    F.col("doc_a").alias("db"),
+                    (F.col("n_common") / F.col("n_b")).alias("cont"),
+                ),
+            )
+        ).alias("p")
+    )
     return (
-        common.join(ca, "doc_a")
-        .where(cont >= CONTAINMENT_THRESHOLD)
-        .select("doc_a", "doc_b", round2(cont).alias("containment"))
+        both.where(F.col("p.cont") >= CONTAINMENT_THRESHOLD)
+        .select(
+            F.col("p.da").alias("doc_a"),
+            F.col("p.db").alias("doc_b"),
+            round2(F.col("p.cont")).alias("containment"),
+        )
         .orderBy("doc_a", "doc_b")
     )
 
