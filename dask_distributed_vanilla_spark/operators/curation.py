@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dask_distributed_vanilla_spark.catalog import load_table
+from dask_distributed_vanilla_spark.catalog import load_table, spread
 from dask_distributed_vanilla_spark.functions.rounding import round2, round2_sql
 from dask_distributed_vanilla_spark.operators.dedup import (
     _minhash_cte_chain,
@@ -60,7 +60,9 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     context-window packing step of an LLM data pipeline). One explode —
     fan-out is ceil(n_tokens / stride) rows per doc, each chunk
     re-materialized from the shared token array executor-side."""
-    docs = load_table(spark, sf_dir, "documents")
+    # spread the doc rows so the per-doc text work runs on all cores
+    # instead of the single-row-group fixture scan's one task (catalog.spread)
+    docs = spread(load_table(spark, sf_dir, "documents"))
     t = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
     starts = F.sequence(
         F.lit(0), F.greatest(F.size("w") - 1, F.lit(0)), F.lit(CHUNK_STRIDE)
@@ -198,7 +200,9 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode is a max-run over the sorted token array, not an
     explode+groupBy), which is what makes this a free pre-filter at
     100 TB."""
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the sort+fold per doc is the whole cost of this scan-only
+    # query — one task on the single-row-group fixture without it
+    docs = spread(load_table(spark, sf_dir, "documents"))
     t = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
     n_tokens = F.size("w")
     # mode count == longest run of equal tokens in the sorted array
@@ -580,7 +584,9 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from dask_distributed_vanilla_spark.operators.dedup import shingles_from_words
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread the doc rows before the 5-gram explode: the single-file
+    # scan would otherwise shingle+md5 the corpus in one task (catalog.spread)
+    docs = spread(load_table(spark, sf_dir, "documents"))
     words = docs.select("source", F.split(F.col("text"), " ").alias("words"))
     sh = words.select(
         "source",
@@ -668,7 +674,9 @@ def _with_quality_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         _count_in,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread the doc rows so the per-doc text work runs on all cores
+    # instead of the single-row-group fixture scan's one task (catalog.spread)
+    docs = spread(load_table(spark, sf_dir, "documents"))
     t = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
     words = F.col("w")
     n_tokens = F.size(words)
@@ -723,7 +731,7 @@ def source_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from dask_distributed_vanilla_spark.operators.dedup import shingles_from_words
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     words = docs.select(
         "source", "doc_id", F.split(F.col("text"), " ").alias("words")
     )

@@ -431,7 +431,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes character-wise (top bit of nibble j ⇔ hex char ≥ '8'), at
     roughly half the per-token cost.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: one md5 per token (~500/doc) is scan-stage work that would
+    # otherwise run single-task on the single-row-group fixture
+    docs = spread(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")).select(
         "doc_id", F.md5(F.col("tok")).alias("h")
     )

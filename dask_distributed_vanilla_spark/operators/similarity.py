@@ -430,8 +430,14 @@ def semdedup(spark: SparkSession, sf_dir: str, tau: float = SEMDEDUP_TAU) -> Dat
     # into the pair-level predicate (where it would re-fold per pair).
     # The 100 TB analog is materializing the normalized corpus once
     # before the dedup pass — standard practice for embedding pipelines.
+    from dask_distributed_vanilla_spark.catalog import spread
+
+    # spread before the checkpoint: the single-row-group embeddings scan
+    # would otherwise leave ONE cached partition, making every per-pair
+    # dot-product fold downstream single-threaded (catalog.spread)
     e = (
-        base.select("vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("nrm"))
+        spread(base)
+        .select("vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("nrm"))
         .localCheckpoint()
     )
     a = e.select(

@@ -36,7 +36,10 @@ def _words():
 
 def _with_words(docs, extra=()):
     """Materialize the words array once — Catalyst re-evaluates split()
-    per reference otherwise (see dedup.word_shingles note)."""
+    per reference otherwise (see dedup.word_shingles note). NOT spread:
+    r13 measured the light token expressions (size/filter counts) faster
+    on the raw scan than behind a repartition exchange — only the
+    md5-shingling consumers (text_fingerprint) spread explicitly."""
     return docs.select("doc_id", *extra, _words().alias("w"))
 
 
@@ -148,7 +151,11 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-gram shingles (rolling-window min-hash), md5(text) fallback for
     short docs. Fixed-width and engine-portable — two corpora can be
     fingerprint-joined without exchanging text."""
-    t = _with_words(load_table(spark, sf_dir, "documents"), extra=("text",))
+    from dask_distributed_vanilla_spark.catalog import spread
+
+    # spread: the per-doc 5-gram md5 min-hash is the whole cost here and
+    # would run in the single-row-group scan's one task (catalog.spread)
+    t = _with_words(spread(load_table(spark, sf_dir, "documents")), extra=("text",))
     sh = shingles_from_words(F.col("w"), 5)
     min_sh = F.array_min(F.transform(sh, lambda s: F.md5(s)))
     return t.select(
