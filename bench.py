@@ -143,6 +143,15 @@ SEGMENT_SIZE = 25
 RISER_RATIO = 1.5
 RISER_FLOOR_SEC = 0.3
 
+# Byte budget for the FINAL compact stdout line (r14): the driver keeps
+# only the last ~2,000 chars of stdout (round-3 truncation incident), so
+# the line fills its "queries" dict with as many of the slowest queries
+# as fit under this with margin — never fewer than the historical 10 —
+# instead of a fixed top-10 that hid real wins as "dropped_from_bench"
+# (r13 verdict item 3). The full dicts always go to the first line and
+# bench_last_full.json.
+COMPACT_LINE_BUDGET = 1900
+
 
 def _previous_record_best(sf: float) -> dict[str, float]:
     """Per-query best-of from the committed previous record
@@ -601,15 +610,27 @@ def main() -> None:
         f: round(statistics.geometric_mean(ts), 3)
         for f, ts in sorted(fams_best.items())
     }
-    slow10 = dict(sorted(best.items(), key=lambda kv: -kv[1])[:10])
-    print(
-        json.dumps(
+    # Compact-line query dict (r14, verdict item 3): the r13 PERF
+    # comparison saw only the top-10 slowest, so the round's biggest
+    # wins left the record as "dropped_from_bench" instead of speedups.
+    # The full 176-query dict cannot ride this line (the driver keeps
+    # only the last ~2,000 chars of stdout — the round-3 truncation
+    # incident), so fill "queries" with as many of the slowest (by
+    # best-of, the comparison basis — unchanged for the entries that
+    # already appeared) as keep the line under budget, never fewer than
+    # the historical 10. Additions-only: every previously-emitted entry
+    # still appears with the same basis; the full dicts stay on the
+    # first line and in bench_last_full.json.
+    slow_sorted = sorted(best.items(), key=lambda kv: -kv[1])
+
+    def _compact(n_queries_in_line: int) -> str:
+        return json.dumps(
             {
                 "metric": "suite_total_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": slow10,
-                "summary": "top10_slowest_by_bestof_full_dicts_on_first_line",
+                "queries": dict(slow_sorted[:n_queries_in_line]),
+                "summary": "slowest_by_bestof_fit_to_budget_full_dicts_on_first_line",
                 "family_geomean_sec": geo,
                 "family_geomean_best_sec": geo_best,
                 "tpch_geomean_sec": tpch_geomean,
@@ -617,7 +638,13 @@ def main() -> None:
                 **config,
             }
         )
-    )
+
+    n_fit = 10
+    for n in range(len(slow_sorted), 10, -1):
+        if len(_compact(n)) <= COMPACT_LINE_BUDGET:
+            n_fit = n
+            break
+    print(_compact(n_fit))
 
 
 def _family(name: str) -> str:

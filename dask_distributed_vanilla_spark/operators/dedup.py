@@ -552,9 +552,19 @@ def dedup_cc(spark: SparkSession, sf_dir: str, max_iter: int = 10) -> DataFrame:
         .localCheckpoint()
     )
     changed = 1
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-    try:
+    from dask_distributed_vanilla_spark.session import ITER_LOOP_AQE, scoped_conf
+
+    # AQE scoped OFF for the loop rounds: the shuffles are pre-sized to
+    # loop_parts above, so AQE's per-stage materialize-and-replan
+    # latency is pure per-round overhead here (r14 A/B at sf0.1: loop
+    # 0.82s → 0.65s; see session.ITER_LOOP_AQE for the trade).
+    with scoped_conf(
+        spark,
+        {
+            "spark.sql.shuffle.partitions": str(loop_parts),
+            "spark.sql.adaptive.enabled": ITER_LOOP_AQE,
+        },
+    ):
         for _ in range(max_iter):
             prop = (
                 edges.join(labels.withColumnRenamed("node", "src"), "src")
@@ -584,8 +594,6 @@ def dedup_cc(spark: SparkSession, sf_dir: str, max_iter: int = 10) -> DataFrame:
             labels = new_labels.drop("chg")
             if changed == 0:
                 break
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     if changed != 0:
         warnings.warn(
             f"dedup_cc: min-label propagation did not converge within "

@@ -938,34 +938,52 @@ def text_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "y", "j")
         .agg(F.sum("x").alias("x"))
+        # Checkpoint PARTITIONED BY doc_id (r14): every GD step groups
+        # feats by doc and re-joins by doc, so hash(doc_id) partitioning
+        # inherited from the checkpoint removes BOTH per-step doc_id
+        # exchanges — HashPartitioning(doc_id) satisfies the (doc_id, y)
+        # clustering (y is functionally dependent on doc_id), and the
+        # residual attaches via broadcast below.
+        .repartition("doc_id")
         .localCheckpoint()  # reused every iteration — scan the corpus once
     )
     n_docs = base.count()
     w_vec = [0.0] * LOGREG_DIM
-    for _ in range(LOGREG_ITERS):
-        wdf = spark.createDataFrame(
-            list(enumerate(w_vec)), "j int, wj double"
-        )
-        margin = (
-            feats.join(F.broadcast(wdf), "j")
-            .groupBy("doc_id", "y")
-            .agg(F.sum(F.col("x") * F.col("wj")).alias("m"))
-        )
-        resid = margin.select(
-            "doc_id",
-            (1.0 / (1.0 + F.exp(-F.col("m"))) - F.col("y")).alias("r"),
-        )
-        grad_rows = (
-            feats.join(resid, "doc_id")
-            .groupBy("j")
-            .agg(F.sum(F.col("x") * F.col("r")).alias("g"))
-            .collect()
-        )
-        grad = {r["j"]: r["g"] for r in grad_rows}
-        w_vec = [
-            w_vec[j] - LOGREG_LR * grad.get(j, 0.0) / n_docs
-            for j in range(LOGREG_DIM)
-        ]
+    from dask_distributed_vanilla_spark.session import ITER_LOOP_AQE, scoped_conf
+
+    # AQE scoped OFF for the gradient steps: the per-step shapes are
+    # fixed (broadcast weights in, one dim-sized aggregate out), so
+    # AQE's stage-by-stage re-planning latency × 5 steps is pure
+    # overhead (r14 A/B at sf0.1: loop ~3.1s → ~2.5s, combined with the
+    # partitioned checkpoint; see session.ITER_LOOP_AQE).
+    with scoped_conf(spark, {"spark.sql.adaptive.enabled": ITER_LOOP_AQE}):
+        for _ in range(LOGREG_ITERS):
+            wdf = spark.createDataFrame(
+                list(enumerate(w_vec)), "j int, wj double"
+            )
+            margin = (
+                feats.join(F.broadcast(wdf), "j")
+                .groupBy("doc_id", "y")
+                .agg(F.sum(F.col("x") * F.col("wj")).alias("m"))
+            )
+            resid = margin.select(
+                "doc_id",
+                (1.0 / (1.0 + F.exp(-F.col("m"))) - F.col("y")).alias("r"),
+            )
+            # residuals are doc-count-sized (one double per doc) — the
+            # broadcast keeps the gradient join shuffle-free, so each
+            # step moves only the 64-bucket aggregate across the wire
+            grad_rows = (
+                feats.join(F.broadcast(resid), "doc_id")
+                .groupBy("j")
+                .agg(F.sum(F.col("x") * F.col("r")).alias("g"))
+                .collect()
+            )
+            grad = {r["j"]: r["g"] for r in grad_rows}
+            w_vec = [
+                w_vec[j] - LOGREG_LR * grad.get(j, 0.0) / n_docs
+                for j in range(LOGREG_DIM)
+            ]
     return spark.createDataFrame(
         [(j, math.floor(w_vec[j] * 1000000 + 0.5) / 1000000) for j in range(LOGREG_DIM)], "j int, weight double"
     )

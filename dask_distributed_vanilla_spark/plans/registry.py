@@ -70,6 +70,17 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 
     def _rank(name: str) -> tuple[int, int]:
         judged_round = latest_round.get(name)
+        # Optimization-round gating (r13 verdict item 2): a query whose
+        # builder was rewritten in an optimization round must reach the
+        # driver's 50-entry correctness window BEFORE plain staleness
+        # would rotate it in — 17 of r13's 26 touched queries rode on
+        # builder-side checks only because the window ranks by age, not
+        # by changed-this-round. Rank them first until the driver has
+        # re-certified them (latest official row >= the touch round);
+        # after that the entry is inert and normal rotation resumes.
+        touched = _TOUCHED_IN_ROUND.get(name, 0)
+        if judged_round is not None and judged_round < touched:
+            return (0, judged_round)
         if judged_round is None:
             return (2, 0) if name not in oracles else (1, 0)
         if name not in oracles:
@@ -95,6 +106,41 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # rows recorded BEFORE it predate the declaration and still read as
 # err:"no_oracle" failures in the permanent ledger (see _rank).
 _ROWS_ONLY_DECLARED_ROUND = 8
+
+# name -> optimization round in which the query's builder (or a helper
+# it consumes) was materially rewritten. Entries are self-retiring: once
+# CORRECTNESS_r{round}.json (or any later round) records the name, the
+# `judged_round < touched` test in _rank goes false and the name drops
+# back to plain staleness rotation — no cleanup edit needed. Names
+# already judged in their touch round (e.g. the er_* trio in r13's
+# window) are inert from day one.
+_TOUCHED_IN_ROUND: dict[str, int] = {
+    # r13 (optimization round 1): semi-join fusion + direction-explode +
+    # shared shingle table + spread() on the scan-fused map stages
+    "dedup_ngram_jaccard": 13,
+    "dedup_containment": 13,
+    "dedup_lsh_audit": 13,
+    "dedup_simhash": 13,
+    "dedup_minhash_lsh": 13,
+    "dedup_cc": 13,
+    "dedup_incremental_near": 13,
+    "semdedup": 13,
+    "doc_chunks": 13,
+    "doc_repetition": 13,
+    "source_overlap": 13,
+    "source_templates": 13,
+    "chunk_dedup": 13,
+    "quality_token_mix": 13,
+    "cluster_best": 13,
+    "curation_report": 13,
+    "text_fingerprint": 13,
+    "basket_lift": 13,
+    "graph_degree_hist": 13,
+    "er_blocking": 13,
+    "er_blocking_audit": 13,
+    "er_match_pairs": 13,
+    "er_golden_record": 13,
+}
 
 
 def _driver_judged_rounds() -> dict[str, int]:

@@ -16,6 +16,7 @@ executor sizing move to spark-submit conf.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -46,6 +47,36 @@ _DEFAULTS = {
     # helper can exceed the 1g default; judged query results are tiny
     "spark.driver.maxResultSize": "4g",
 }
+
+
+# AQE inside iterative fixpoint loops (min-label propagation, gradient
+# steps): each loop round is a small query over node/weight-sized frames
+# whose shuffle sizes are KNOWN and pinned by the loop (see the 8/4
+# partition sizing comments at the call sites), so AQE's stage-by-stage
+# materialize-and-replan cycle buys nothing and its per-stage driver
+# latency multiplies by rounds × stages — measured r14 at sf0.1:
+# er_golden_record's 6-round loop 3.5s → 2.2s, text_logreg's 5 steps
+# ~3.1s → ~2.5s, dedup_cc 0.82s → 0.65s with AQE scoped off; the
+# surrounding query (pair build, consolidation) keeps AQE. The latency
+# is per ROUND, so the saving grows with rounds, not with core count —
+# the same trade holds on a cluster; flip here if a deployment's loop
+# frames are large enough for runtime re-planning to win back.
+ITER_LOOP_AQE = os.environ.get("SPARK_GRAFT_ITER_AQE", "false")
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, confs: dict[str, str]):
+    """Set session confs for the duration of a block, restoring the
+    previous values on exit — the engine's pattern for loop-scoped
+    sizing (streaming's _stream_shuffle generalized)."""
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
 
 
 def get_spark(app_name: str = "ddvs", master: str | None = None, **conf: str) -> SparkSession:

@@ -91,6 +91,35 @@ def test_previous_record_best_gates_on_scale_factor():
     assert bench._previous_record_best(rec["sf"] + 123.0) == {}
 
 
+def test_compact_line_budget_within_driver_tail():
+    """The final stdout line must survive the driver's ~2,000-char tail
+    truncation (round-3 incident) while leaving margin for the adaptive
+    slowest-query fill (r14: as many entries as fit, never fewer than
+    the historical 10)."""
+    assert 1500 <= bench.COMPACT_LINE_BUDGET <= 2000
+
+
+def test_registry_touched_promotion_self_retires():
+    """A query touched in an optimization round leads the gate window
+    only while its latest official row predates the touch round; a name
+    judged at (or after) its touch round must rank by plain staleness."""
+    from dask_distributed_vanilla_spark.plans.registry import (
+        _TOUCHED_IN_ROUND,
+        _driver_judged_rounds,
+        all_queries,
+    )
+
+    latest = _driver_judged_rounds()
+    names = list(all_queries())
+    for n, rnd in _TOUCHED_IN_ROUND.items():
+        assert n in names
+        if n in latest and latest[n] >= rnd:  # re-certified: inert
+            assert names.index(n) >= sum(
+                1 for q, r in _TOUCHED_IN_ROUND.items()
+                if q in latest and latest[q] < r
+            )
+
+
 def test_riser_thresholds_are_sane():
     """1.5× sits above the ±6% idle jitter and the ~1.2× first-segment
     warm-up band; the 0.3s floor keeps noise-band sub-second queries

@@ -481,6 +481,7 @@ def test_registry_window_freshness_rotation():
 
     from dask_distributed_vanilla_spark.plans.registry import (
         _ROWS_ONLY_DECLARED_ROUND,
+        _TOUCHED_IN_ROUND,
         _driver_judged_rounds,
         rows_only,
     )
@@ -488,16 +489,26 @@ def test_registry_window_freshness_rotation():
     names = list(all_queries())
     oracles = all_oracles()
     latest = _driver_judged_rounds()
+    # optimization-round gating (r14): judged queries whose builder was
+    # rewritten in a LATER optimization round than their latest official
+    # row lead the whole window, stalest first, until re-certified
+    promoted = [
+        n for n in names
+        if n in latest and latest[n] < _TOUCHED_IN_ROUND.get(n, 0)
+    ]
+    p = len(promoted)
+    assert set(names[:p]) == set(promoted)
+    assert [latest[n] for n in promoted] == sorted(latest[n] for n in promoted)
     never = [n for n in names if n not in latest]
     if never:  # false only once every query has an official row
-        # never-judged queries must occupy a contiguous prefix
-        k = len(never)
-        assert set(names[:k]) == set(never)
+        # never-judged queries must occupy a contiguous block next
+        k = p + len(never)
+        assert set(names[p:k]) == set(never)
         # within it, oracle-backed before rows-only
-        tail_rows_only = [n for n in names[:k] if n not in oracles]
-        assert names[:k][k - len(tail_rows_only):] == tail_rows_only
+        tail_rows_only = [n for n in names[p:k] if n not in oracles]
+        assert names[p:k][k - p - len(tail_rows_only):] == tail_rows_only
     else:
-        k = 0
+        k = p
     # pre-declaration rows-only names (repair pass) directly follow
     repair = [
         n for n in names
