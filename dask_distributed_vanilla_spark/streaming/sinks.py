@@ -71,24 +71,38 @@ def merge_epoch_into_view(
     replacing, and the view stays aggregate-sized (|keys| rows), so
     maintenance cost is O(delta + view), never O(history).
     """
+    from dask_distributed_vanilla_spark.session import ITER_LOOP_AQE, scoped_conf
+
     spark = batch_df.sparkSession
-    try:
-        current = spark.read.parquet(view_path)
-        applied = current.agg(F.max(MV_EPOCH_COL).alias("e")).collect()[0].e
-        if applied is not None and batch_id <= applied:
-            return  # epoch replay after failure: already folded in
-        merged = (
-            current.drop(MV_EPOCH_COL)
-            .unionByName(batch_df)
-            .groupBy(*keys)
-            .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
-        )
-    except Exception:  # first epoch: no view yet
-        merged = batch_df.groupBy(*keys).agg(
-            F.sum("n").alias("n"), F.sum("sv").alias("sv")
-        )
-    out = merged.withColumn(MV_EPOCH_COL, F.lit(int(batch_id))).localCheckpoint()
-    out.write.mode("overwrite").parquet(view_path)
+    # Epoch folds are view-sized (|keys| rows in, |keys| rows out), so
+    # the merge shuffle is pre-sized to a handful of partitions and AQE
+    # stage re-planning is scoped off — the same per-round-latency trade
+    # as the iterative label loops (session.ITER_LOOP_AQE), paid once
+    # per epoch here.
+    with scoped_conf(
+        spark,
+        {
+            "spark.sql.shuffle.partitions": "4",
+            "spark.sql.adaptive.enabled": ITER_LOOP_AQE,
+        },
+    ):
+        try:
+            current = spark.read.parquet(view_path)
+            applied = current.agg(F.max(MV_EPOCH_COL).alias("e")).collect()[0].e
+            if applied is not None and batch_id <= applied:
+                return  # epoch replay after failure: already folded in
+            merged = (
+                current.drop(MV_EPOCH_COL)
+                .unionByName(batch_df)
+                .groupBy(*keys)
+                .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+            )
+        except Exception:  # first epoch: no view yet
+            merged = batch_df.groupBy(*keys).agg(
+                F.sum("n").alias("n"), F.sum("sv").alias("sv")
+            )
+        out = merged.withColumn(MV_EPOCH_COL, F.lit(int(batch_id))).localCheckpoint()
+        out.write.mode("overwrite").parquet(view_path)
 
 
 def start_incremental_view(
