@@ -62,7 +62,8 @@ def _sessionize(
 
     import numpy as np
 
-    rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    frames = list(pdfs)
+    rows = frames[0] if len(frames) == 1 else pd.concat(frames)
     closed: list[tuple[int, int, int, float]] = []
     cur = state.get if state.exists else None
     if not len(rows):
@@ -75,8 +76,15 @@ def _sessionize(
     # Vectorized in-batch fold: gap breaks via a shifted diff, per-segment
     # aggregates via reduceat — the per-event Python loop this replaces
     # was the micro-batch hot spot (state handling stays row-free).
+    # Ordering via numpy lexsort on just the 3 consumed columns instead
+    # of DataFrame.sort_values: sort_values copies the whole frame per
+    # key, and this function runs once per user per micro-batch (r14,
+    # guide §4.2 — keep the per-batch Python constant term down). Order
+    # is identical: (ts, event_id) is a total order (event_id unique).
     ts_us = rows["ts"].to_numpy(dtype="datetime64[ns]").astype("int64") // 1000
-    vals = rows["value"].to_numpy(dtype="float64")
+    order = np.lexsort((rows["event_id"].to_numpy(), ts_us))
+    ts_us = ts_us[order]
+    vals = rows["value"].to_numpy(dtype="float64")[order]
     prev = np.empty_like(ts_us)
     prev[1:] = ts_us[:-1]
     # no carry → the first row always opens a session (forced break)
