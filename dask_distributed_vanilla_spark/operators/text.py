@@ -938,13 +938,10 @@ def text_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "y", "j")
         .agg(F.sum("x").alias("x"))
-        # Checkpoint PARTITIONED BY doc_id (r14): every GD step groups
-        # feats by doc and re-joins by doc, so hash(doc_id) partitioning
-        # inherited from the checkpoint removes BOTH per-step doc_id
-        # exchanges — HashPartitioning(doc_id) satisfies the (doc_id, y)
-        # clustering (y is functionally dependent on doc_id), and the
-        # residual attaches via broadcast below.
-        .repartition("doc_id")
+        # (A repartition("doc_id") before this checkpoint was A/B'd in
+        # r14 and removed: PySpark's localCheckpoint scans back as
+        # UnknownPartitioning — see the step plan dumps — so the extra
+        # exchange bought nothing.)
         .localCheckpoint()  # reused every iteration — scan the corpus once
     )
     n_docs = base.count()
@@ -971,8 +968,10 @@ def text_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (1.0 / (1.0 + F.exp(-F.col("m"))) - F.col("y")).alias("r"),
             )
             # residuals are doc-count-sized (one double per doc) — the
-            # broadcast keeps the gradient join shuffle-free, so each
-            # step moves only the 64-bucket aggregate across the wire
+            # explicit broadcast builds the small side instead of the
+            # planner's choice of broadcasting FEATS (the whole hashed
+            # feature table, r14 step-plan dump), so each step ships one
+            # double per doc and the 64-bucket aggregate, nothing more
             grad_rows = (
                 feats.join(F.broadcast(resid), "doc_id")
                 .groupBy("j")
