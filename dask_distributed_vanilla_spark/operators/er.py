@@ -128,9 +128,12 @@ def er_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the exact levenshtein verify running only on collided
     candidates. Work scales with matches + hash collisions, never n² —
     this is the scale path where blocking (er_blocking) is the
-    recall-trading alternative. Candidates colliding on several
-    signatures are deduped BEFORE the verify so levenshtein runs once
-    per pair. Candidate volume is bounded-by-contract: per-bucket work
+    recall-trading alternative. The cheap BANDED verify runs once per
+    signature collision, BEFORE the pair dedup, so the distinct then
+    shuffles key-only rows (the r13 ordering — a multi-signature pair
+    pays the O(len) band per collision instead of shipping both name
+    payloads through the shuffle). Candidate volume is
+    bounded-by-contract: per-bucket work
     is occupancy², and `_guard_sig_occupancy` warns the moment any
     bucket crosses SIG_DF_CAP (see the constant's doc above). Note the
     guard is an EAGER probe: the first call per (corpus, ceiling) in a
@@ -394,7 +397,11 @@ def er_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dimension joins and count the same-block subset in ONE aggregate —
     # n_both == n_blocked for the same subset reason (guide §1.2: don't
     # compute things you throw away). Oracle unchanged; equality of all
-    # three outputs is proven by the unchanged DuckDB hash.
+    # three outputs is proven by the unchanged DuckDB hash. The subset
+    # derivation is valid ONLY while FastSS recall stays exact — the
+    # SIG_DF_CAP guard must remain a warning, never a filter — and is
+    # pinned against the literal quadratic blocked self-join in
+    # tests/test_scale_paths.py::test_blocking_audit_matches_literal_blocked_self_join.
     full = _fastss_pairs(spark, sf_dir)
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_mktsegment"

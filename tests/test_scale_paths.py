@@ -179,6 +179,38 @@ def test_fastss_sig_occupancy_guard_warns(spark, monkeypatch):
     assert capped == baseline, "occupancy guard must not change exact results"
 
 
+def test_blocking_audit_matches_literal_blocked_self_join(spark):
+    """er_blocking_audit derives n_blocked from the FastSS full set
+    under the subset invariant (every blocked pair collides on a
+    1-deletion signature — FastSS completeness for lev<=1). This pins
+    the derivation against the LITERAL definition it replaced: an
+    independent quadratic blocked self-join with the unbanded
+    levenshtein. If a future change weakens FastSS recall (e.g. turning
+    the SIG_DF_CAP guard into a filter) the audit would silently
+    corrupt — this test is the r13-ADVICE tripwire for exactly that."""
+    from pyspark.sql import functions as F
+
+    from dask_distributed_vanilla_spark.catalog import load_table
+    from dask_distributed_vanilla_spark.operators.er import er_blocking_audit
+
+    got = er_blocking_audit(spark, SF_SMOKE).collect()[0]
+
+    c = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_name"
+    )
+    a, b = c.alias("a"), c.alias("b")
+    full = a.join(
+        b, F.col("a.c_custkey") < F.col("b.c_custkey")
+    ).where(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1)
+    n_full = full.count()
+    n_blocked = full.where(
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+    ).count()
+    assert got["n_full"] == n_full
+    assert got["n_blocked"] == n_blocked
+
+
 def test_fastss_sig_occupancy_quiet_under_default_cap(spark, monkeypatch):
     """On the smoke fixture every deletion bucket sits under the default
     ceiling — the green path emits no occupancy warning even with the
