@@ -623,7 +623,7 @@ def main() -> None:
     # first line and in bench_last_full.json.
     slow_sorted = sorted(best.items(), key=lambda kv: -kv[1])
 
-    def _compact(n_queries_in_line: int) -> str:
+    def _compact(n_queries_in_line: int, cfg: dict) -> str:
         return json.dumps(
             {
                 "metric": "suite_total_sec",
@@ -635,16 +635,26 @@ def main() -> None:
                 "family_geomean_best_sec": geo_best,
                 "tpch_geomean_sec": tpch_geomean,
                 "tpch_geomean_best_sec": tpch_geomean_best,
-                **config,
+                **cfg,
             }
         )
 
+    line_config = config
+    if len(_compact(10, line_config)) > COMPACT_LINE_BUDGET:
+        # a very noisy run's riser list can alone blow the tail budget:
+        # summarize it to a count on THIS line only (the full list still
+        # rides the first line and bench_last_full.json)
+        line_config = dict(config)
+        line_config["calib"] = {
+            **config["calib"],
+            "rechecked": f"{len(rechecked)} queries (see full record)",
+        }
     n_fit = 10
     for n in range(len(slow_sorted), 10, -1):
-        if len(_compact(n)) <= COMPACT_LINE_BUDGET:
+        if len(_compact(n, line_config)) <= COMPACT_LINE_BUDGET:
             n_fit = n
             break
-    print(_compact(n_fit))
+    print(_compact(n_fit, line_config))
 
 
 def _family(name: str) -> str:
