@@ -122,7 +122,6 @@ _TOUCHED_IN_ROUND: dict[str, int] = {
     "dedup_lsh_audit": 13,
     "dedup_simhash": 13,
     "dedup_minhash_lsh": 13,
-    "dedup_cc": 13,
     "dedup_incremental_near": 13,
     "semdedup": 13,
     "doc_chunks": 13,
@@ -131,15 +130,33 @@ _TOUCHED_IN_ROUND: dict[str, int] = {
     "source_templates": 13,
     "chunk_dedup": 13,
     "quality_token_mix": 13,
-    "cluster_best": 13,
-    "curation_report": 13,
     "text_fingerprint": 13,
     "basket_lift": 13,
     "graph_degree_hist": 13,
     "er_blocking": 13,
     "er_blocking_audit": 13,
     "er_match_pairs": 13,
-    "er_golden_record": 13,
+    # r14 (optimization round 2): iterative-loop AQE scope + one-action
+    # rounds (er_golden_record, dedup_cc and its composites), logreg
+    # broadcast-residual steps, streaming no-data-batch skips +
+    # single-scan MV source prep, stateful lexsort fold, pagerank
+    # batched rounds. Names touched in BOTH rounds carry the later one.
+    "er_golden_record": 14,
+    "dedup_cc": 14,
+    "dedup_cluster_hist": 14,
+    "cluster_best": 14,
+    "curation_report": 14,
+    "text_logreg_quality": 14,
+    "graph_pagerank": 14,
+    "stream_e1": 14,
+    "stream_sliding": 14,
+    "stream_dedup": 14,
+    "stream_enrich": 14,
+    "stream_session": 14,
+    "stream_join": 14,
+    "stream_approx_distinct": 14,
+    "stream_stateful": 14,
+    "stream_incremental_mv": 14,
 }
 
 
